@@ -1,0 +1,76 @@
+"""Benchmark: DDPM sampling throughput on the flagship stage-2 model.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Workload = the reference's structural cost driver (SURVEY §6): the full
+1000-step reverse-diffusion chain over 120-frame windows with the released
+stage-2 architecture (d_model 512, 4 layers, 4 heads, d_k=d_v=256), i.e.
+1000 sequential denoiser forwards per window batch.  Here the chain is one
+lax.scan jitted on device; throughput is measured as completed
+window-samples per second per chip.
+
+Baseline: the same workload measured with an equivalent PyTorch
+implementation (tools/measure_torch_baseline.py) on this host's CPU —
+recorded in BASELINE_MEASURED.json (the reference repo publishes no numbers
+and its GPU environment is unavailable; see BASELINE.md).
+"""
+
+import json
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from egoego_release_tpu.diffusion import CondGaussianDiffusion, DiffusionConfig
+    from egoego_release_tpu.diffusion.gaussian_diffusion import head_condition_mask
+
+    cfg = DiffusionConfig()  # full released config
+    diff = CondGaussianDiffusion(cfg)
+    params = diff.init_params(jax.random.PRNGKey(0))
+
+    bs = int(os.environ.get("BENCH_BATCH", "16"))
+    x_start = jnp.zeros((bs, cfg.window, cfg.d_feats), jnp.float32)
+    cond_mask = head_condition_mask(bs, cfg.window)
+
+    run = jax.jit(lambda p, k: diff.p_sample_loop(p, k, x_start, cond_mask))
+
+    # warmup/compile
+    out = run(params, jax.random.PRNGKey(1))
+    out.block_until_ready()
+
+    n_runs = int(os.environ.get("BENCH_RUNS", "3"))
+    t0 = time.perf_counter()
+    for i in range(n_runs):
+        out = run(params, jax.random.PRNGKey(2 + i))
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    samples_per_sec = bs * n_runs / dt
+
+    baseline_path = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
+    vs_baseline = None
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            base = json.load(f)
+        ref = base.get("torch_reference_samples_per_sec")
+        if ref:
+            vs_baseline = samples_per_sec / ref
+
+    print(
+        json.dumps(
+            {
+                "metric": "DDPM window-samples/sec/chip (T=120, 1000 steps, stage-2 model)",
+                "value": round(samples_per_sec, 4),
+                "unit": "samples/sec",
+                "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,184 @@
+"""AMASS window dataset for stage-2 diffusion training / eval.
+
+Port of `AMASSDataset` (egoego/data/amass_diffusion_dataset.py:145-538):
+windows motion sequences into `window`-frame chunks (stride window//2, skip
+<30 frames), converts to the 198-d global representation (22 joint positions
++ 22 global 6d rotations) via FK, optionally canonicalizing each window's
+initial head-forward direction, and min/max-normalizes joint positions.
+
+TPU-first: the per-window torch/np FK pipeline becomes one vmapped JAX
+program over all windows of a sequence.
+"""
+
+from __future__ import annotations
+
+import os
+
+import joblib
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from egoego_release_tpu.data import formats
+from egoego_release_tpu.diffusion.gaussian_diffusion import NormStats, normalize_jpos
+from egoego_release_tpu.ops import fk as fk_mod
+from egoego_release_tpu.ops import heading
+from egoego_release_tpu.ops import rotations as rot
+
+HEAD_IDX = fk_mod.HEAD_IDX
+
+
+def process_window_data(
+    root_trans: jnp.ndarray,   # (T, 3)
+    root_orient: jnp.ndarray,  # (T, 3) axis-angle
+    pose_body: jnp.ndarray,    # (T, 21, 3) axis-angle
+    rest_offsets: jnp.ndarray,  # (22, 3)
+    canonicalize_init_head: bool = True,
+):
+    """One window -> dict of global_jpos (T,22,3), global_jvel, global_rot_6d,
+    local_rot_6d (amass_diffusion_dataset.py:409-510)."""
+    local_aa = jnp.concatenate([root_orient[:, None, :], pose_body], axis=1)  # (T,22,3)
+    local_mat = rot.axis_angle_to_matrix(local_aa)
+    global_mat = fk_mod.local_to_global_matrix(local_mat)
+
+    if canonicalize_init_head:
+        head_quat = rot.matrix_to_quat(global_mat[:, HEAD_IDX])  # (T, 4)
+        aligned_root_trans, _, recover = heading.rotate_at_frame(
+            root_trans[None], head_quat[None], cano_t_idx=0
+        )
+        recover_q = recover[0, 0, 0]  # (4,)
+        root_quat = rot.matrix_to_quat(local_mat[:, 0])
+        cano_root_quat = rot.quat_multiply(rot.quat_invert(recover_q)[None], root_quat)
+        local_mat = local_mat.at[:, 0].set(rot.quat_to_matrix(cano_root_quat))
+        global_mat = fk_mod.local_to_global_matrix(local_mat)
+        use_trans = aligned_root_trans[0]
+    else:
+        use_trans = root_trans
+
+    local_quat = rot.matrix_to_quat(local_mat)
+    _, jnts = fk_mod.fk_from_local_quat(local_quat, rest_offsets)
+    jnts = jnts + use_trans[:, None, :]
+
+    # zero the initial head xy (amass_diffusion_dataset.py:454-459)
+    move0 = jnts[0:1, HEAD_IDX, :] * jnp.asarray([1.0, 1.0, 0.0])
+    global_jpos = jnts - move0[None]
+    global_jvel = jnp.concatenate(
+        [global_jpos[1:] - global_jpos[:-1], jnp.zeros((1, 22, 3))], axis=0
+    )
+    return {
+        "local_rot_6d": rot.matrix_to_rot6d(local_mat),
+        "global_jpos": global_jpos,
+        "global_jvel": global_jvel,
+        "global_rot_6d": rot.matrix_to_rot6d(global_mat),
+    }
+
+
+class AMASSWindowDataset:
+    """Windows + normalization over a reference-format AMASS motion pickle."""
+
+    def __init__(
+        self,
+        data_path: str,
+        rest_offsets,               # (22, 3) from ops.smpl.rest_offsets_22
+        window: int = 120,
+        canonicalize_init_head: bool = True,
+        stats_path: str | None = None,
+        min_window_len: int = 30,
+    ):
+        self.window = window
+        self.rest_offsets = jnp.asarray(rest_offsets)
+        self.canonicalize_init_head = canonicalize_init_head
+
+        data_dict = formats.load_motion_dict(data_path)
+
+        proc = jax.jit(
+            lambda rt, ro, pb: process_window_data(
+                rt, ro, pb, self.rest_offsets, canonicalize_init_head
+            )
+        )
+
+        # windowing: stride window//2, skip segments < min_window_len
+        # (amass_diffusion_dataset.py:316-353)
+        self.windows: list[dict] = []
+        for idx in data_dict:
+            rec = data_dict[idx]
+            seq_trans = np.asarray(rec["trans"], np.float32)
+            seq_orient = np.asarray(rec["root_orient"], np.float32)
+            seq_body = np.asarray(rec["body_pose"], np.float32).reshape(-1, 21, 3)
+            num_steps = seq_trans.shape[0]
+            for start in range(0, num_steps, window // 2):
+                end = min(start + window - 1, num_steps)
+                if end - start < min_window_len:
+                    continue
+                q = proc(
+                    jnp.asarray(seq_trans[start : end + 1]),
+                    jnp.asarray(seq_orient[start : end + 1]),
+                    jnp.asarray(seq_body[start : end + 1]),
+                )
+                self.windows.append(
+                    {
+                        "seq_name": rec.get("seq_name", str(idx)),
+                        "start_t_idx": start,
+                        "end_t_idx": end,
+                        "global_jpos": np.asarray(q["global_jpos"]).reshape(-1, 66),
+                        "global_jvel": np.asarray(q["global_jvel"]).reshape(-1, 66),
+                        "global_rot_6d": np.asarray(q["global_rot_6d"]).reshape(-1, 132),
+                    }
+                )
+
+        # stats (amass_diffusion_dataset.py:355-377)
+        if stats_path is not None and os.path.exists(stats_path):
+            self.stats = formats.load_norm_stats(stats_path)
+        else:
+            self.stats = self._compute_stats()
+            if stats_path is not None:
+                joblib.dump(self._stats_dict(), stats_path)
+
+    def _compute_stats(self) -> NormStats:
+        jpos = np.concatenate([w["global_jpos"] for w in self.windows]).reshape(-1, 66)
+        return NormStats(
+            jpos_min=jnp.asarray(jpos.min(axis=0).reshape(22, 3)),
+            jpos_max=jnp.asarray(jpos.max(axis=0).reshape(22, 3)),
+        )
+
+    def _stats_dict(self) -> dict:
+        jpos = np.concatenate([w["global_jpos"] for w in self.windows]).reshape(-1, 66)
+        jvel = np.concatenate([w["global_jvel"] for w in self.windows]).reshape(-1, 66)
+        return {
+            "global_jpos_min": jpos.min(axis=0),
+            "global_jpos_max": jpos.max(axis=0),
+            "global_jvel_min": jvel.min(axis=0),
+            "global_jvel_max": jvel.max(axis=0),
+        }
+
+    def __len__(self):
+        return len(self.windows)
+
+    def __getitem__(self, index: int) -> dict:
+        """motion (window, 198) normalized, zero-padded; seq_len
+        (amass_diffusion_dataset.py:515-538)."""
+        w = self.windows[index]
+        jpos = np.asarray(
+            normalize_jpos(jnp.asarray(w["global_jpos"].reshape(-1, 22, 3)), self.stats)
+        ).reshape(-1, 66)
+        motion = np.concatenate([jpos, w["global_rot_6d"]], axis=-1).astype(np.float32)
+        seq_len = motion.shape[0]
+        if seq_len < self.window:
+            motion = np.concatenate(
+                [motion, np.zeros((self.window - seq_len, motion.shape[1]), np.float32)]
+            )
+        return {"motion": motion, "seq_len": seq_len}
+
+    def batch_iterator(self, batch_size: int, key, shuffle: bool = True):
+        """Infinite batches as stacked numpy dicts (the reference cycles its
+        DataLoader — trainer_amass_cond_motion_diffusion.py:26-29)."""
+        rng = np.random.RandomState(int(jax.random.randint(key, (), 0, 2**31 - 1)))
+        n = len(self)
+        while True:
+            idx = rng.permutation(n) if shuffle else np.arange(n)
+            for i in range(0, n - batch_size + 1, batch_size):
+                items = [self[j] for j in idx[i : i + batch_size]]
+                yield {
+                    "motion": np.stack([it["motion"] for it in items]),
+                    "seq_len": np.asarray([it["seq_len"] for it in items], np.int32),
+                }

@@ -1,0 +1,98 @@
+"""qpos codec / head velocity / floor height tests."""
+
+import numpy as np
+import jax.numpy as jnp
+from scipy.spatial.transform import Rotation as sR
+
+from egoego_release_tpu.ops import geometry as G
+from egoego_release_tpu.ops import rotations as rot
+
+
+def test_qpos_euler_matches_scipy():
+    rng = np.random.RandomState(0)
+    t = 5
+    qpos = np.zeros((t, 76), dtype=np.float32)
+    qpos[:, :3] = rng.randn(t, 3)
+    rq = rng.randn(t, 4); rq /= np.linalg.norm(rq, axis=-1, keepdims=True)
+    qpos[:, 3:7] = rq
+    eulers = (rng.rand(t, 23, 3) * 2 - 1) * 1.2
+    qpos[:, 7:] = eulers.reshape(t, -1)
+
+    trans, aa = G.qpos_to_smpl(jnp.asarray(qpos))
+    np.testing.assert_allclose(np.asarray(trans), qpos[:, :3], atol=1e-6)
+
+    # oracle: scipy intrinsic ZYX euler -> rotvec, then the joint permutation
+    r = sR.from_euler("ZYX", eulers.reshape(-1, 3))
+    joint_aa = r.as_rotvec().reshape(t, 23, 3)
+    root_aa = sR.from_quat(np.roll(rq, -1, axis=-1)).as_rotvec()
+    aa_mj = np.concatenate([root_aa[:, None], joint_aa], axis=1)
+    oracle = aa_mj[:, G.MUJOCO2SMPL_JOINT_IDX]
+
+    err = (sR.from_rotvec(np.asarray(aa).reshape(-1, 3)).inv()
+           * sR.from_rotvec(oracle.reshape(-1, 3))).magnitude()
+    assert err.max() < 1e-4
+
+
+def test_qpos_roundtrip():
+    rng = np.random.RandomState(1)
+    t = 4
+    trans = rng.randn(t, 3).astype(np.float32)
+    aa = (rng.randn(t, 24, 3) * 0.5).astype(np.float32)
+    qpos = G.smpl_to_qpos(jnp.asarray(trans), jnp.asarray(aa))
+    trans2, aa2 = G.qpos_to_smpl(qpos)
+    np.testing.assert_allclose(np.asarray(trans2), trans, atol=1e-5)
+    err = (sR.from_rotvec(np.asarray(aa2).reshape(-1, 3)).inv()
+           * sR.from_rotvec(aa.reshape(-1, 3))).magnitude()
+    assert err.max() < 1e-4
+
+
+def test_get_head_vel_matches_loop_oracle():
+    rng = np.random.RandomState(2)
+    t = 12
+    pose = np.zeros((t, 7), dtype=np.float32)
+    pose[:, :3] = np.cumsum(rng.randn(t, 3) * 0.02, axis=0)
+    q = rng.randn(t, 4); q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    pose[:, 3:] = q
+
+    out = np.asarray(G.get_head_vel(jnp.asarray(pose)))
+    assert out.shape == (t, 6)
+
+    # oracle per frame
+    dt = 1 / 30
+    for i in range(t - 1):
+        v = (pose[i + 1, :3] - pose[i, :3]) / dt
+        hq = q[i].copy(); hq[1] = hq[2] = 0; hq /= np.linalg.norm(hq)
+        v_loc = sR.from_quat(np.roll(hq, -1)).inv().apply(v)
+        np.testing.assert_allclose(out[i, :3], v_loc, atol=1e-4)
+
+        r_rel = sR.from_quat(np.roll(q[i + 1], -1)) * sR.from_quat(np.roll(q[i], -1)).inv()
+        rv = r_rel.as_rotvec() / dt
+        rv_loc = sR.from_quat(np.roll(q[i], -1)).inv().apply(rv)
+        np.testing.assert_allclose(out[i, 3:], rv_loc, atol=1e-3)
+    np.testing.assert_allclose(out[-1], out[-2], atol=1e-6)
+
+
+def test_floor_height_flat_stance():
+    t = 60
+    jpos = np.zeros((t, 22, 3))
+    jpos[:, :, 2] = 1.0            # body parts at 1m
+    jpos[:, 10, 2] = 0.31          # left toe static at 0.31
+    jpos[:, 11, 2] = 0.32          # right toe slightly higher
+    floor, contacts, discard = G.determine_floor_height_and_contacts(jpos, fps=30)
+    # min cluster median 0.31, offset by 0.01
+    assert abs(floor - 0.30) < 1e-6
+    assert contacts[:, 10].all() and contacts[:, 11].all()
+    assert not discard
+
+
+def test_obj_relative_pose_identity_ref():
+    rng = np.random.RandomState(3)
+    t = 6
+    obj = np.zeros((t, 7), dtype=np.float32)
+    obj[:, :3] = rng.randn(t, 3)
+    obj[:, 3] = 1.0
+    ref = np.zeros((t, 7), dtype=np.float32)
+    ref[:, 3] = 1.0  # identity orientation at origin
+    out = np.asarray(G.get_obj_relative_pose(jnp.asarray(obj), jnp.asarray(ref)))
+    np.testing.assert_allclose(out[:, :3], obj[:, :3], atol=1e-5)
+    np.testing.assert_allclose(out[:, 3:], obj[:, 3:], atol=1e-5)

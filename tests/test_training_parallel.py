@@ -1,0 +1,126 @@
+"""Trainer mechanics (NaN guard, EMA, grad accum) + dp x tp mesh sharding."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from egoego_release_tpu.diffusion.gaussian_diffusion import (
+    CondGaussianDiffusion,
+    DiffusionConfig,
+)
+from egoego_release_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    param_shardings,
+    shard_params,
+)
+from egoego_release_tpu.training.trainer_diffusion import DiffusionTrainer
+
+CFG = DiffusionConfig(
+    d_feats=198, d_model=32, n_head=2, n_dec_layers=2, d_k=16, d_v=16,
+    window=12, timesteps=8,
+)
+
+
+def make_batch(bs=4, t=12, seed=0):
+    rng = np.random.RandomState(seed)
+    return {
+        "motion": rng.uniform(-1, 1, (bs, t, 198)).astype(np.float32),
+        "seq_len": np.full((bs,), t, np.int32),
+    }
+
+
+def test_train_step_reduces_loss():
+    diff = CondGaussianDiffusion(CFG)
+    trainer = DiffusionTrainer(diff, lr=1e-3)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    batch = make_batch()
+    key = jax.random.PRNGKey(1)
+    first = None
+    for i in range(30):
+        key, sk = jax.random.split(key)
+        state, loss = trainer.train_step(state, batch, sk)
+        if first is None:
+            first = float(loss)
+    assert int(state.step) == 30
+    assert int(state.nan_count) == 0
+    assert np.isfinite(float(loss))
+    assert float(loss) < first  # same batch, loss must drop
+
+
+def test_nan_batch_skipped():
+    diff = CondGaussianDiffusion(CFG)
+    trainer = DiffusionTrainer(diff, lr=1e-3)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    bad = make_batch()
+    bad["motion"][0, 0, 0] = np.nan
+    params_before = jax.tree.map(np.asarray, state.params)
+    state, loss = trainer.train_step(state, bad, jax.random.PRNGKey(2))
+    assert int(state.nan_count) == 1
+    # params unchanged
+    for a, b in zip(
+        jax.tree.leaves(params_before), jax.tree.leaves(state.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ema_is_copy_during_warmup():
+    diff = CondGaussianDiffusion(CFG)
+    trainer = DiffusionTrainer(diff, lr=1e-3, ema_step_start=1000, ema_update_every=1)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    state, _ = trainer.train_step(state, make_batch(), jax.random.PRNGKey(3))
+    for p, e in zip(jax.tree.leaves(state.params), jax.tree.leaves(state.ema_params)):
+        np.testing.assert_array_equal(np.asarray(p), np.asarray(e))
+
+
+def test_mesh_sharded_training_step():
+    assert jax.device_count() == 8, "conftest must provide 8 virtual devices"
+    mesh = make_mesh(dp=4, tp=2)
+    diff = CondGaussianDiffusion(CFG)
+    trainer = DiffusionTrainer(diff, lr=1e-3, mesh=mesh)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+
+    # tp rules: w_q kernel split on the head/output dim
+    shardings = param_shardings(state.params, mesh)
+    flat = jax.tree_util.tree_flatten_with_path(shardings)[0]
+    specs = {
+        "/".join(getattr(k, "key", str(k)) for k in kp): v.spec for kp, v in flat
+    }
+    wq = [v for k, v in specs.items() if k.endswith("w_q/kernel")]
+    assert wq and all(s == jax.sharding.PartitionSpec(None, "tp") for s in wq)
+    fc = [v for k, v in specs.items() if "self_attn/fc/kernel" in k]
+    assert fc and all(s == jax.sharding.PartitionSpec("tp", None) for s in fc)
+
+    sharded_params = shard_params(state.params, mesh)
+    state = state._replace(params=sharded_params)
+    batch = make_batch(bs=8)
+    with mesh:
+        state, loss = trainer.train_step(state, batch, jax.random.PRNGKey(4))
+        state, loss2 = trainer.train_step(state, batch, jax.random.PRNGKey(5))
+    assert np.isfinite(float(loss)) and np.isfinite(float(loss2))
+
+    # batch sharding places batch over dp
+    bs = batch_sharding(mesh)
+    assert bs.spec == jax.sharding.PartitionSpec("dp")
+
+
+def test_sharded_matches_unsharded():
+    """dp x tp sharding must not change the numerics (same params, same key)."""
+    diff = CondGaussianDiffusion(CFG)
+    batch = make_batch(bs=8)
+
+    t_plain = DiffusionTrainer(diff, lr=1e-3)
+    s_plain = t_plain.init_state(jax.random.PRNGKey(0))
+    s_plain, l_plain = t_plain.train_step(s_plain, batch, jax.random.PRNGKey(7))
+
+    mesh = make_mesh(dp=4, tp=2)
+    t_mesh = DiffusionTrainer(diff, lr=1e-3, mesh=mesh)
+    s_mesh = t_mesh.init_state(jax.random.PRNGKey(0))
+    s_mesh = s_mesh._replace(params=shard_params(s_mesh.params, mesh))
+    with mesh:
+        s_mesh, l_mesh = t_mesh.train_step(s_mesh, batch, jax.random.PRNGKey(7))
+
+    np.testing.assert_allclose(float(l_plain), float(l_mesh), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s_plain.params), jax.tree.leaves(s_mesh.params)):
+        # sharded psum changes the fp reduction order; tolerance reflects that
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
