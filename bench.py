@@ -56,7 +56,10 @@ def main():
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
             base = json.load(f)
-        ref = base.get("torch_reference_samples_per_sec")
+        # prefer the conservative GPU estimate over the (1-core) CPU measurement
+        ref = base.get("estimated_reference_gpu_samples_per_sec") or base.get(
+            "torch_reference_samples_per_sec"
+        )
         if ref:
             vs_baseline = samples_per_sec / ref
 

@@ -1,0 +1,179 @@
+"""Full-pipeline eval on ARES / GIMO / Kinpoly-MoCap.
+
+CLI mirror of the reference's eval_egoego.py: per test sequence,
+  stage 1 (HeadNet + GravityNet) -> stage-1 head metrics
+  -> qpos GT -> FK -> floor snap -> head-pose floor alignment
+  -> stage-2 conditional diffusion (best of --sample_bs by MPJPE)
+  -> full metric suite -> JSON dump.
+
+Scene splits, "step"-sequence exclusion, and SLAM-failure blacklists follow
+eval_egoego.py:213-233.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import pickle
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from egoego_release_tpu.data.formats import load_motion_dict
+from egoego_release_tpu.data.headpose import (
+    ARESHeadPoseDataset,
+    GIMOHeadPoseDataset,
+    RealWorldHeadPoseDataset,
+)
+from egoego_release_tpu.eval.build import build_pipeline
+from egoego_release_tpu.eval.pipeline import (
+    HEAD_IDX,
+    evaluate_sequence,
+    stage1_metrics,
+)
+from egoego_release_tpu.ops import fk as fk_mod
+from egoego_release_tpu.ops import geometry
+
+ARES_TEST_SCENES = ("office_0", "hotel_0", "room_2", "frl_apartment_4", "apartment_0")
+GIMO_TEST_SCENES = ("storeroom0217", "classroom0219", "lab0220", "kitchen0214")
+
+
+def select_dataset(opt):
+    if opt.test_on_ares:
+        return ARESHeadPoseDataset(opt.data_root_folder, train=False,
+                                   window=opt.window, for_eval=True)
+    if opt.test_on_gimo:
+        return GIMOHeadPoseDataset(opt.data_root_folder, train=False,
+                                   window=opt.window, for_eval=True)
+    return RealWorldHeadPoseDataset(opt.data_root_folder, train=False,
+                                    window=opt.window, for_eval=True,
+                                    eval_on_kinpoly_mocap=True)
+
+
+def keep_sequence(opt, seq_name: str, bad_seqs: set) -> bool:
+    if seq_name in bad_seqs or seq_name + ".npz" in bad_seqs:
+        return False
+    if opt.test_on_ares:
+        return seq_name.split("-")[0] in ARES_TEST_SCENES
+    if opt.test_on_gimo:
+        return seq_name.split("-")[0] in GIMO_TEST_SCENES
+    return "step" not in seq_name
+
+
+def run(opt) -> dict:
+    pipeline = build_pipeline(
+        stats_path=opt.stats_path,
+        smplh_path=opt.smplh_path,
+        rest_offsets_path=opt.rest_offsets,
+        diffusion_ckpt=opt.diffusion_ckpt,
+        headnet_ckpt=opt.headnet_ckpt,
+        gravitynet_ckpt=opt.gravitynet_ckpt,
+        window=opt.window,
+        headnet_window=opt.headnet_window,
+    )
+    ds = select_dataset(opt)
+    full_body_gt = load_motion_dict(opt.full_body_gt_path)
+    bad_seqs: set = set()
+    if opt.bad_seq_path and os.path.exists(opt.bad_seq_path):
+        bad_seqs = set(pickle.load(open(opt.bad_seq_path, "rb"))["bad_seq"])
+
+    key = jax.random.PRNGKey(opt.seed)
+    agg: dict[str, list] = {}
+    per_seq = {}
+    n_eval = 0
+
+    for i in range(len(ds)):
+        rec = ds[i]
+        seq_name = rec["seq_name"]
+        if not keep_sequence(opt, seq_name, bad_seqs):
+            continue
+        gt_key = seq_name + ".npz" if opt.test_on_ares else seq_name
+        if gt_key not in full_body_gt:
+            continue
+        gt_rec = full_body_gt[gt_key]
+
+        # ---- stage 1 ----
+        if opt.use_gt_head_pose:
+            head_pose = np.asarray(gt_rec["head_pose"], np.float32)
+        else:
+            s1 = pipeline.stage1_head_pose(rec)
+            head_pose = np.asarray(s1["head_pose"])
+        t_gt = gt_rec["head_pose"].shape[0]
+        head_pose = head_pose[:t_gt]
+
+        s1_e, s1_o, s1_t = stage1_metrics(head_pose, gt_rec["head_pose"])
+        print(f"{seq_name}: stage1 E={s1_e:.4f} O={s1_o:.4f} T={s1_t:.1f}mm")
+
+        # ---- GT body via qpos codec + FK (eval_egoego.py:315-335) ----
+        gt_trans, gt_aa24 = geometry.qpos_to_smpl(
+            jnp.asarray(gt_rec["qpos"].astype(np.float32))
+        )
+        gt_aa = gt_aa24[:, :22]
+        gt_jrot, gt_jpos = fk_mod.fk_smpl(gt_trans, gt_aa, pipeline.rest_offsets)
+        floor, _, _ = geometry.determine_floor_height_and_contacts(np.asarray(gt_jpos), 30)
+        gt_jpos = gt_jpos.at[:, :, 2].add(-floor)
+
+        # align the predicted head pose to the floor-snapped GT start (:334-335)
+        move = np.asarray(gt_jpos[0, HEAD_IDX]) - head_pose[0, :3]
+        head_pose = head_pose.copy()
+        head_pose[:, :3] += move
+
+        if opt.use_gt_head_pose:
+            head_pose = np.concatenate(
+                [np.asarray(gt_jpos[:, HEAD_IDX]), np.asarray(gt_jrot[:, HEAD_IDX])], -1
+            )
+
+        # ---- stage 2 + metrics ----
+        key, sk = jax.random.split(key)
+        md, _ = evaluate_sequence(
+            pipeline, head_pose, gt_jrot, gt_jpos, sk, sample_bs=opt.sample_bs
+        )
+        entry = {k: float(np.mean(v)) for k, v in md.items() if k != "single_jpe"}
+        entry.update({"s1_e_head": s1_e, "s1_o_head": s1_o, "s1_t_head": s1_t})
+        per_seq[seq_name] = entry
+        for k, v in entry.items():
+            agg.setdefault(k, []).append(v)
+        n_eval += 1
+        print(f"  mpjpe={entry['mpjpe']:.2f}mm head_dist={entry['head_dist']:.4f}")
+        if opt.max_seqs and n_eval >= opt.max_seqs:
+            break
+
+    summary = {k: float(np.mean(v)) for k, v in agg.items()}
+    result = {"mean": summary, "per_seq": per_seq, "num_seqs": n_eval}
+    os.makedirs(opt.out_dir, exist_ok=True)
+    tag = "ares" if opt.test_on_ares else ("gimo" if opt.test_on_gimo else "kinpoly")
+    out_path = os.path.join(opt.out_dir, f"egoego_pipeline_res_on_{tag}.json")
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=2)
+    print("mean:", json.dumps(summary, indent=2))
+    return result
+
+
+def parse_opt(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--data_root_folder", required=True)
+    p.add_argument("--full_body_gt_path", required=True,
+                   help="kinpoly-format mocap_annotations.p with qpos experts")
+    p.add_argument("--bad_seq_path", default=None)
+    p.add_argument("--stats_path", required=True)
+    p.add_argument("--diffusion_ckpt", default=None)
+    p.add_argument("--headnet_ckpt", default=None)
+    p.add_argument("--gravitynet_ckpt", default=None)
+    p.add_argument("--smplh_path", default=None)
+    p.add_argument("--rest_offsets", default=None)
+    p.add_argument("--window", type=int, default=120)
+    p.add_argument("--headnet_window", type=int, default=60)
+    p.add_argument("--sample_bs", type=int, default=1)
+    p.add_argument("--max_seqs", type=int, default=0)
+    p.add_argument("--test_on_ares", action="store_true")
+    p.add_argument("--test_on_gimo", action="store_true")
+    p.add_argument("--use_gt_head_pose", action="store_true")
+    p.add_argument("--out_dir", default="./results")
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+if __name__ == "__main__":
+    run(parse_opt())

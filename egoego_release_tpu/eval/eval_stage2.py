@@ -1,0 +1,103 @@
+"""Stage-2 diffusion eval on the AMASS test split.
+
+CLI mirror of the reference's eval_stage2.py: for each test sequence
+(Transitions_mocap + HumanEva, first `window` frames — eval_stage2.py:94,114),
+FK the GT, snap to the floor, condition the diffusion model on the GT head
+pose, sample, and run the metric suite; dump a JSON summary.
+
+Usage:
+  python -m egoego_release_tpu.eval.eval_stage2 \
+      --data_root_folder <root> --checkpoint stage2_diffusion_4.pt \
+      --smplh_path smpl_models/smplh_amass [--sample_bs 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+import jax
+
+from egoego_release_tpu.data.formats import load_motion_dict
+from egoego_release_tpu.eval.build import build_pipeline
+from egoego_release_tpu.eval.pipeline import evaluate_sequence, gt_from_smpl_params
+
+TEST_SUBSETS = ("Transitions_mocap", "HumanEva")  # eval_stage2.py:94
+
+
+def run(opt) -> dict:
+    pipeline = build_pipeline(
+        stats_path=opt.stats_path,
+        smplh_path=opt.smplh_path,
+        rest_offsets_path=opt.rest_offsets,
+        diffusion_ckpt=opt.checkpoint,
+        window=opt.window,
+    )
+    data = load_motion_dict(opt.test_data_path)
+
+    key = jax.random.PRNGKey(opt.seed)
+    agg: dict[str, list] = {}
+    per_seq = {}
+    n_eval = 0
+    for idx in data:
+        rec = data[idx]
+        seq_name = rec.get("seq_name", str(idx))
+        if opt.filter_subsets and not any(s in seq_name for s in TEST_SUBSETS):
+            continue
+        t = min(opt.window, rec["trans"].shape[0])
+        if t < opt.window:
+            continue  # reference uses first `window` frames of long-enough seqs
+
+        gt_jrot, gt_jpos, gt_head_pose = gt_from_smpl_params(
+            pipeline,
+            rec["trans"][:t], rec["root_orient"][:t],
+            rec["body_pose"][:t],
+        )
+        key, sk = jax.random.split(key)
+        md, _ = evaluate_sequence(
+            pipeline, np.asarray(gt_head_pose), gt_jrot, gt_jpos, sk,
+            sample_bs=opt.sample_bs,
+        )
+        per_seq[seq_name] = {k: float(np.mean(v)) for k, v in md.items() if k != "single_jpe"}
+        for k, v in per_seq[seq_name].items():
+            agg.setdefault(k, []).append(v)
+        n_eval += 1
+        print(f"[{n_eval}] {seq_name}: mpjpe={per_seq[seq_name]['mpjpe']:.2f}mm "
+              f"head_dist={per_seq[seq_name]['head_dist']:.4f}")
+        if opt.max_seqs and n_eval >= opt.max_seqs:
+            break
+
+    summary = {k: float(np.mean(v)) for k, v in agg.items()}
+    result = {"mean": summary, "per_seq": per_seq, "num_seqs": n_eval}
+    os.makedirs(opt.out_dir, exist_ok=True)
+    out_path = os.path.join(opt.out_dir, "stage2_diffusion_model_res_on_amass_test.json")
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=2)
+    print("mean:", json.dumps(summary, indent=2))
+    print("saved:", out_path)
+    return result
+
+
+def parse_opt(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--test_data_path", required=True,
+                   help="AMASS test motion pickle (test_amass_smplh_motion.p)")
+    p.add_argument("--stats_path", required=True,
+                   help="min/max stats pickle (cano_min_max_mean_std_data_window_120.p)")
+    p.add_argument("--checkpoint", default=None, help="stage2 torch .pt checkpoint")
+    p.add_argument("--smplh_path", default=None)
+    p.add_argument("--rest_offsets", default=None)
+    p.add_argument("--window", type=int, default=120)
+    p.add_argument("--sample_bs", type=int, default=1)
+    p.add_argument("--max_seqs", type=int, default=0)
+    p.add_argument("--filter_subsets", action="store_true", default=True)
+    p.add_argument("--no_filter_subsets", dest="filter_subsets", action="store_false")
+    p.add_argument("--out_dir", default="./results")
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+if __name__ == "__main__":
+    run(parse_opt())

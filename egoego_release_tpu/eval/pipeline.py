@@ -1,0 +1,181 @@
+"""End-to-end pipeline building blocks shared by the eval drivers.
+
+Mirrors the orchestration of eval_egoego.py / eval_stage2.py / run_egoego.py
+(reference repo root): stage-1 head-pose estimation -> head-pose-conditioned
+diffusion -> FK decode -> floor snap -> metrics.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from egoego_release_tpu.diffusion.gaussian_diffusion import (
+    CondGaussianDiffusion,
+    DiffusionConfig,
+    NormStats,
+)
+from egoego_release_tpu.eval import metrics as metrics_mod
+from egoego_release_tpu.models.gravitynet import (
+    HeadNormalFormer,
+    gravitynet_eval_transform,
+    prep_gravitynet_input,
+)
+from egoego_release_tpu.models.headnet import HeadFormer, headformer_forward_for_eval
+from egoego_release_tpu.ops import fk as fk_mod
+from egoego_release_tpu.ops import geometry
+from egoego_release_tpu.ops import rotations as rot
+
+HEAD_IDX = fk_mod.HEAD_IDX
+
+
+@dataclass
+class EgoEgoPipeline:
+    """Holds the three models + params + normalization/skeleton constants."""
+
+    diffusion: CondGaussianDiffusion
+    diffusion_params: Any
+    stats: NormStats
+    rest_offsets: jnp.ndarray
+    headnet: HeadFormer | None = None
+    headnet_params: Any = None
+    gravitynet: HeadNormalFormer | None = None
+    gravitynet_params: Any = None
+    dist_scale: float = 10.0
+    extras: dict = field(default_factory=dict)
+
+    # -- stage 1 -----------------------------------------------------------
+
+    def stage1_head_pose(self, record: dict) -> dict:
+        """HeadNet + GravityNet -> world head pose (1, T, 7)
+        (eval_egoego.py:244-295)."""
+        of = jnp.asarray(record["of"][None])  # (1, T, 512)
+        init_quat = jnp.asarray(record["head_pose"][:1, 3:])
+        aligned_slam_trans = jnp.asarray(record["aligned_slam_trans"])
+
+        head_out = headformer_forward_for_eval(
+            self.headnet, self.headnet_params, of, init_quat, aligned_slam_trans,
+            dist_scale=self.dist_scale,
+        )
+
+        ori_trans = jnp.asarray(record["ori_slam_trans"])
+        ori_trans = ori_trans - ori_trans[0:1]
+        ori_mat = jnp.asarray(record["ori_slam_rot_mat"])
+        window = self.gravitynet.window
+        feats, mask = prep_gravitynet_input(ori_mat[None], ori_trans[None], window)
+        normal = self.gravitynet.apply(self.gravitynet_params, feats, mask)[0]
+
+        gt_head_pose = jnp.asarray(record["head_pose"])
+        normal_out = gravitynet_eval_transform(
+            normal, ori_mat, ori_trans, head_out["pred_scale"], gt_head_pose
+        )
+
+        # translation from GravityNet, orientation from HeadNet (:275-278)
+        t = min(normal_out["head_pose"].shape[0], head_out["head_pose"].shape[1])
+        head_pose = jnp.concatenate(
+            [normal_out["head_pose"][:t, :3], head_out["head_pose"][0, :t, 3:]], axis=-1
+        )
+        return {
+            "head_pose": head_pose,            # (T, 7)
+            "pred_scale": head_out["pred_scale"],
+            "pred_normal": normal,
+        }
+
+    # -- stage 2 -----------------------------------------------------------
+
+    def stage2_generate(self, head_pose: jnp.ndarray, key, sample_bs: int = 1):
+        """Head pose (T, 7) -> (local_aa (BS,T',22,3), root_pos (BS,T',3))
+        via sliding-window conditional diffusion
+        (trainer:261-277 full_body_gen_cond_head_pose_sliding_window)."""
+        rep = jnp.tile(head_pose[None], (sample_bs, 1, 1))
+        return self.diffusion.sample_sliding_window_w_canonical(
+            self.diffusion_params, key,
+            rep[:, :, :3], rep[:, :, 3:], self.stats, self.rest_offsets,
+        )
+
+    def fk(self, root_pos: jnp.ndarray, local_aa: jnp.ndarray):
+        """(B, T, 3) + (B, T, 22, 3) -> (B, T, 22, 4), (B, T, 22, 3)."""
+        b, t = root_pos.shape[:2]
+        gq, gp = fk_mod.fk_smpl(
+            root_pos.reshape(-1, 3), local_aa.reshape(-1, 22, 3), self.rest_offsets
+        )
+        return gq.reshape(b, t, 22, 4), gp.reshape(b, t, 22, 3)
+
+
+def evaluate_sequence(
+    pipeline: EgoEgoPipeline,
+    gt_head_pose: np.ndarray,        # (T, 7) stage-2 condition (GT or stage-1 output)
+    gt_global_jrot: jnp.ndarray,     # (T, 22, 4) GT FK rotations
+    gt_global_jpos: jnp.ndarray,     # (T, 22, 3) GT FK positions (floor at z=0)
+    key,
+    sample_bs: int = 1,
+):
+    """Stage-2 generation + metric suite for one sequence, best-of-sample_bs
+    by MPJPE (eval_egoego.py:345-460, eval_stage2.py metric path)."""
+    local_aa, root_pos = pipeline.stage2_generate(
+        jnp.asarray(gt_head_pose), key, sample_bs=sample_bs
+    )
+    pred_jrot, pred_jpos = pipeline.fk(root_pos, local_aa)
+
+    t = min(pred_jpos.shape[1], gt_global_jpos.shape[0])
+
+    # move initial head xy to the same origin (eval_egoego.py:376-383)
+    gt_move = (gt_global_jpos[0:1, HEAD_IDX:HEAD_IDX + 1, :]
+               * jnp.asarray([1.0, 1.0, 0.0]))[None]
+    pred_move = pred_jpos[:, 0:1, HEAD_IDX:HEAD_IDX + 1, :] * jnp.asarray([1.0, 1.0, 0.0])
+    gt_jpos_c = gt_global_jpos[None, :t] - gt_move
+    pred_jpos_c = pred_jpos[:, :t] - pred_move
+
+    best = None
+    for s in range(sample_bs):
+        pred_floor, _, _ = geometry.determine_floor_height_and_contacts(
+            np.asarray(pred_jpos_c[s]), fps=30
+        )
+        md = metrics_mod.compute_metrics_for_smpl(
+            gt_global_jrot[:t], gt_jpos_c[0], jnp.float32(0.0),
+            pred_jrot[s, :t], pred_jpos_c[s], jnp.float32(pred_floor),
+        )
+        md = {k: np.asarray(v) for k, v in md.items()}
+        if best is None or md["mpjpe"] < best[0]["mpjpe"]:
+            best = (md, s)
+    md, s = best
+    return md, {
+        "local_aa": np.asarray(local_aa[s]),
+        "root_pos": np.asarray(root_pos[s]),
+        "pred_jpos": np.asarray(pred_jpos_c[s]),
+        "pred_jrot": np.asarray(pred_jrot[s]),
+    }
+
+
+def gt_from_smpl_params(pipeline: EgoEgoPipeline, trans, root_orient, body_pose):
+    """AMASS-style params -> GT FK (jrot (T,22,4), jpos (T,22,3)) + floor snap
+    + GT head pose (eval_stage2.py:114-160)."""
+    local_aa = jnp.concatenate(
+        [jnp.asarray(root_orient)[:, None, :], jnp.asarray(body_pose).reshape(-1, 21, 3)],
+        axis=1,
+    )
+    gq, gp = fk_mod.fk_smpl(jnp.asarray(trans), local_aa, pipeline.rest_offsets)
+    floor, _, _ = geometry.determine_floor_height_and_contacts(np.asarray(gp), fps=30)
+    gp = gp.at[:, :, 2].add(-floor)
+    head_pose = jnp.concatenate([gp[:, HEAD_IDX, :], gq[:, HEAD_IDX, :]], axis=-1)
+    return gq, gp, head_pose
+
+
+def stage1_metrics(head_pose_pred: np.ndarray, head_pose_gt: np.ndarray):
+    """Stage-1 metric triple with the initial-xy normalization
+    (eval_egoego.py:297-312)."""
+    pred = np.array(head_pose_pred, copy=True)
+    gt = np.array(head_pose_gt, copy=True)
+    t = min(pred.shape[0], gt.shape[0])
+    pred, gt = pred[:t], gt[:t]
+    pred[:, :2] -= pred[0:1, :2]
+    gt[:, :2] -= gt[0:1, :2]
+    hd, hrd, hte = metrics_mod.compute_head_pose_metrics(
+        jnp.asarray(pred[:, :3]), rot.quat_to_matrix(jnp.asarray(pred[:, 3:])),
+        jnp.asarray(gt[:, :3]), rot.quat_to_matrix(jnp.asarray(gt[:, 3:])),
+    )
+    return float(hd), float(hrd), float(hte)

@@ -1,0 +1,160 @@
+"""Torch checkpoint -> flax parameter conversion.
+
+Ingests the reference's released state_dict pickles so TPU inference runs
+with the exact released weights:
+  * stage2_diffusion_4.pt       {step, model, ema, scaler}
+                                (trainer_amass_cond_motion_diffusion.py:99-106)
+  * stage1_headnet_*.pt         {epoch, transformer_encoder_state_dict, ...}
+                                (trainer_head_estimation.py:206-212)
+  * stage1_gravitynet_2000.pt   same schema
+
+Key layout conventions converted:
+  torch Linear weight (out, in)        -> flax Dense kernel (in, out): transpose
+  torch Conv1d k=1 weight (out, in, 1) -> squeeze + transpose
+  torch LayerNorm weight/bias          -> flax scale/bias
+  layer_stack.{i}                      -> layer_{i}
+  MLP affine_layers.{i}                -> affine_{i}
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def load_torch_state_dict(path: str) -> dict:
+    """torch.load a checkpoint on CPU and convert all tensors to numpy."""
+    import torch
+
+    data = torch.load(path, map_location="cpu", weights_only=False)
+
+    def to_np(x):
+        if isinstance(x, dict):
+            return {k: to_np(v) for k, v in x.items()}
+        if torch.is_tensor(x):
+            return x.detach().numpy()
+        return x
+
+    return to_np(data)
+
+
+def _dense(sd, key):
+    return {
+        "kernel": jnp.asarray(np.asarray(sd[key + ".weight"]).T),
+        "bias": jnp.asarray(sd[key + ".bias"]),
+    }
+
+
+def _conv1d(sd, key):
+    w = np.asarray(sd[key + ".weight"])  # (out, in, 1)
+    return {
+        "kernel": jnp.asarray(w[..., 0].T),
+        "bias": jnp.asarray(sd[key + ".bias"]),
+    }
+
+
+def _layernorm(sd, key):
+    return {
+        "scale": jnp.asarray(sd[key + ".weight"]),
+        "bias": jnp.asarray(sd[key + ".bias"]),
+    }
+
+
+def convert_decoder(sd: dict, prefix: str, n_layers: int) -> dict:
+    """Decoder (transformer_module.py:172) subtree -> flax params."""
+    out = {"start_conv": _conv1d(sd, f"{prefix}.start_conv")}
+    for i in range(n_layers):
+        lp = f"{prefix}.layer_stack.{i}"
+        out[f"layer_{i}"] = {
+            "self_attn": {
+                "w_q": _dense(sd, f"{lp}.self_attn.w_q"),
+                "w_k": _dense(sd, f"{lp}.self_attn.w_k"),
+                "w_v": _dense(sd, f"{lp}.self_attn.w_v"),
+                "fc": _dense(sd, f"{lp}.self_attn.fc"),
+                "layer_norm": _layernorm(sd, f"{lp}.self_attn.layer_norm"),
+            },
+            "pos_ffn": {
+                "w_1": _conv1d(sd, f"{lp}.pos_ffn.w_1"),
+                "w_2": _conv1d(sd, f"{lp}.pos_ffn.w_2"),
+                "layer_norm": _layernorm(sd, f"{lp}.pos_ffn.layer_norm"),
+            },
+        }
+    return out
+
+
+def _mlp(sd: dict, prefix: str) -> dict:
+    out = {}
+    i = 0
+    while f"{prefix}.affine_layers.{i}.weight" in sd:
+        out[f"affine_{i}"] = _dense(sd, f"{prefix}.affine_layers.{i}")
+        i += 1
+    return out
+
+
+def convert_denoiser(sd: dict, n_layers: int = 4, prefix: str = "denoise_fn") -> dict:
+    """TransformerDiffusionModel state dict -> flax params for
+    models.denoiser.TransformerDiffusionModel."""
+    p = prefix + "." if prefix else ""
+    return {
+        "params": {
+            "time_mlp_1": _dense(sd, f"{p}time_mlp.1"),
+            "time_mlp_2": _dense(sd, f"{p}time_mlp.3"),
+            "motion_transformer": convert_decoder(sd, f"{p}motion_transformer", n_layers),
+            "linear_out": _dense(sd, f"{p}linear_out"),
+        }
+    }
+
+
+def convert_headformer(sd: dict, n_layers: int = 2) -> dict:
+    """HeadFormer state dict (head_estimation_transformer.py:50-95) ->
+    flax params for models.headnet.HeadFormer."""
+    return {
+        "params": {
+            "action_transformer": convert_decoder(sd, "action_transformer", n_layers),
+            "action_va_mlp": _mlp(sd, "action_va_mlp"),
+            "action_va_fc": _dense(sd, "action_va_fc"),
+            "action_dist_mlp": _mlp(sd, "action_dist_mlp"),
+            "action_dist_fc": _dense(sd, "action_dist_fc"),
+        }
+    }
+
+
+def convert_gravitynet(sd: dict, n_layers: int = 2) -> dict:
+    """HeadNormalFormer state dict -> flax params for
+    models.gravitynet.HeadNormalFormer."""
+    return {
+        "params": {
+            "action_transformer": convert_decoder(sd, "action_transformer", n_layers),
+            "action_normal_mlp": _mlp(sd, "action_normal_mlp"),
+            "action_normal_fc": _dense(sd, "action_normal_fc"),
+        }
+    }
+
+
+def load_stage2_diffusion_ckpt(path: str, n_layers: int = 4, use_ema: bool = True):
+    """stage2_diffusion_*.pt -> (flax denoiser params, step).
+
+    The reference samples with the EMA weights (trainer:254,268 use
+    ema.ema_model); ema-pytorch stores them under 'ema_model.'."""
+    ckpt = load_torch_state_dict(path)
+    if use_ema and "ema" in ckpt:
+        sd = {
+            k[len("ema_model."):]: v
+            for k, v in ckpt["ema"].items()
+            if k.startswith("ema_model.")
+        }
+        if sd:
+            return convert_denoiser(sd, n_layers), ckpt.get("step", 0)
+    sd = ckpt["model"] if "model" in ckpt else ckpt
+    return convert_denoiser(sd, n_layers), ckpt.get("step", 0)
+
+
+def load_stage1_ckpt(path: str, kind: str, n_layers: int = 2):
+    """stage1_headnet_*.pt / stage1_gravitynet_*.pt -> flax params."""
+    ckpt = load_torch_state_dict(path)
+    sd = ckpt.get("transformer_encoder_state_dict", ckpt)
+    if kind == "headnet":
+        return convert_headformer(sd, n_layers)
+    if kind == "gravitynet":
+        return convert_gravitynet(sd, n_layers)
+    raise ValueError(kind)

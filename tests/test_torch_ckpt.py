@@ -1,0 +1,193 @@
+"""Checkpoint-conversion parity: a synthetic torch state_dict (reference key
+layout) is converted to flax and compared against an independent functional
+torch forward implementing the reference semantics (post-LN, 1-based pos
+table, prepended noise token, eval-mode dropout)."""
+
+import math
+
+import numpy as np
+import torch
+import jax
+import jax.numpy as jnp
+
+from egoego_release_tpu.models.denoiser import TransformerDiffusionModel
+from egoego_release_tpu.models.headnet import HeadFormer
+from egoego_release_tpu.models.transformer import sinusoid_position_table
+from egoego_release_tpu.utils.torch_ckpt import (
+    convert_denoiser,
+    convert_headformer,
+)
+
+D_FEATS, D_MODEL, N_LAYERS, N_HEAD, DK, DV, WINDOW = 10, 16, 2, 2, 8, 8, 6
+
+
+def rand_sd(seed=0):
+    g = torch.Generator().manual_seed(seed)
+    r = lambda *s: torch.randn(*s, generator=g) * 0.1
+    sd = {
+        "denoise_fn.time_mlp.1.weight": r(256, 64),
+        "denoise_fn.time_mlp.1.bias": r(256),
+        "denoise_fn.time_mlp.3.weight": r(D_MODEL, 256),
+        "denoise_fn.time_mlp.3.bias": r(D_MODEL),
+        "denoise_fn.motion_transformer.start_conv.weight": r(D_MODEL, 2 * D_FEATS, 1),
+        "denoise_fn.motion_transformer.start_conv.bias": r(D_MODEL),
+        "denoise_fn.linear_out.weight": r(D_FEATS, D_MODEL),
+        "denoise_fn.linear_out.bias": r(D_FEATS),
+    }
+    for i in range(N_LAYERS):
+        p = f"denoise_fn.motion_transformer.layer_stack.{i}"
+        sd.update({
+            f"{p}.self_attn.w_q.weight": r(N_HEAD * DK, D_MODEL),
+            f"{p}.self_attn.w_q.bias": r(N_HEAD * DK),
+            f"{p}.self_attn.w_k.weight": r(N_HEAD * DK, D_MODEL),
+            f"{p}.self_attn.w_k.bias": r(N_HEAD * DK),
+            f"{p}.self_attn.w_v.weight": r(N_HEAD * DV, D_MODEL),
+            f"{p}.self_attn.w_v.bias": r(N_HEAD * DV),
+            f"{p}.self_attn.fc.weight": r(D_MODEL, N_HEAD * DV),
+            f"{p}.self_attn.fc.bias": r(D_MODEL),
+            f"{p}.self_attn.layer_norm.weight": torch.ones(D_MODEL) + r(D_MODEL) * 0.1,
+            f"{p}.self_attn.layer_norm.bias": r(D_MODEL),
+            f"{p}.pos_ffn.w_1.weight": r(D_MODEL, D_MODEL, 1),
+            f"{p}.pos_ffn.w_1.bias": r(D_MODEL),
+            f"{p}.pos_ffn.w_2.weight": r(D_MODEL, D_MODEL, 1),
+            f"{p}.pos_ffn.w_2.bias": r(D_MODEL),
+            f"{p}.pos_ffn.layer_norm.weight": torch.ones(D_MODEL) + r(D_MODEL) * 0.1,
+            f"{p}.pos_ffn.layer_norm.bias": r(D_MODEL),
+        })
+    return sd
+
+
+@torch.no_grad()
+def torch_denoiser_oracle(sd, src, noise_t, padding_mask=None):
+    """Reference-semantics forward from the raw state_dict."""
+    lin = lambda x, k: x @ sd[k + ".weight"].T + sd[k + ".bias"]
+    b, t, _ = src.shape
+
+    half = 32
+    freq = torch.exp(torch.arange(half).float() * (-math.log(10000.0) / (half - 1)))
+    ang = noise_t.float()[:, None] * freq[None]
+    emb = torch.cat([ang.sin(), ang.cos()], -1)
+    emb = lin(emb, "denoise_fn.time_mlp.1")
+    emb = torch.nn.functional.gelu(emb)  # exact erf form
+    emb = lin(emb, "denoise_fn.time_mlp.3")
+
+    x = src @ sd["denoise_fn.motion_transformer.start_conv.weight"][..., 0].T \
+        + sd["denoise_fn.motion_transformer.start_conv.bias"]
+    x = torch.cat([emb[:, None], x], 1)  # (B, T+1, D)
+
+    table = torch.from_numpy(sinusoid_position_table(WINDOW + 2, D_MODEL))
+    pos = torch.arange(1, t + 2)
+    x = x + table[pos][None]
+
+    if padding_mask is None:
+        pm = torch.ones(b, t + 1)
+    else:
+        pm = padding_mask[:, 0, :]
+
+    for i in range(N_LAYERS):
+        p = f"denoise_fn.motion_transformer.layer_stack.{i}"
+        res = x
+        q = lin(x, f"{p}.self_attn.w_q").view(b, -1, N_HEAD, DK)
+        k = lin(x, f"{p}.self_attn.w_k").view(b, -1, N_HEAD, DK)
+        v = lin(x, f"{p}.self_attn.w_v").view(b, -1, N_HEAD, DV)
+        attn = torch.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(DK)
+        attn = attn.softmax(-1)
+        o = torch.einsum("bhqk,bkhd->bqhd", attn, v).reshape(b, x.shape[1], -1)
+        o = lin(o, f"{p}.self_attn.fc")
+        x = torch.nn.functional.layer_norm(
+            o + res, (D_MODEL,), sd[f"{p}.self_attn.layer_norm.weight"],
+            sd[f"{p}.self_attn.layer_norm.bias"],
+        )
+        x = x * pm[..., None]
+        res = x
+        h = torch.relu(x @ sd[f"{p}.pos_ffn.w_1.weight"][..., 0].T + sd[f"{p}.pos_ffn.w_1.bias"])
+        h = h @ sd[f"{p}.pos_ffn.w_2.weight"][..., 0].T + sd[f"{p}.pos_ffn.w_2.bias"]
+        x = torch.nn.functional.layer_norm(
+            h + res, (D_MODEL,), sd[f"{p}.pos_ffn.layer_norm.weight"],
+            sd[f"{p}.pos_ffn.layer_norm.bias"],
+        )
+        x = x * pm[..., None]
+
+    return lin(x[:, 1:], "denoise_fn.linear_out")
+
+
+def test_denoiser_ckpt_parity():
+    sd = rand_sd()
+    sd_np = {k: v.numpy() for k, v in sd.items()}
+    params = convert_denoiser(sd_np, n_layers=N_LAYERS)
+
+    model = TransformerDiffusionModel(
+        d_feats=D_FEATS, d_model=D_MODEL, n_dec_layers=N_LAYERS,
+        n_head=N_HEAD, d_k=DK, d_v=DV, max_timesteps=WINDOW + 1,
+    )
+    rng = np.random.RandomState(0)
+    src = rng.randn(3, WINDOW, 2 * D_FEATS).astype(np.float32)
+    t = np.asarray([0, 500, 999])
+
+    ours = model.apply(params, jnp.asarray(src), jnp.asarray(t))
+    oracle = torch_denoiser_oracle(sd, torch.from_numpy(src), torch.from_numpy(t))
+    np.testing.assert_allclose(np.asarray(ours), oracle.numpy(), atol=2e-5)
+
+
+def test_denoiser_ckpt_parity_with_padding():
+    sd = rand_sd(seed=1)
+    sd_np = {k: v.numpy() for k, v in sd.items()}
+    params = convert_denoiser(sd_np, n_layers=N_LAYERS)
+    model = TransformerDiffusionModel(
+        d_feats=D_FEATS, d_model=D_MODEL, n_dec_layers=N_LAYERS,
+        n_head=N_HEAD, d_k=DK, d_v=DV, max_timesteps=WINDOW + 1,
+    )
+    rng = np.random.RandomState(1)
+    src = rng.randn(2, WINDOW, 2 * D_FEATS).astype(np.float32)
+    t = np.asarray([3, 7])
+    pm = np.ones((2, 1, WINDOW + 1), np.float32)
+    pm[1, 0, 4:] = 0.0
+
+    ours = model.apply(params, jnp.asarray(src), jnp.asarray(t), jnp.asarray(pm))
+    oracle = torch_denoiser_oracle(
+        sd, torch.from_numpy(src), torch.from_numpy(t), torch.from_numpy(pm)
+    )
+    np.testing.assert_allclose(np.asarray(ours), oracle.numpy(), atol=2e-5)
+
+
+def test_headformer_ckpt_roundtrip_structure():
+    """HeadFormer conversion produces a tree that apply() accepts."""
+    g = torch.Generator().manual_seed(2)
+    r = lambda *s: torch.randn(*s, generator=g) * 0.1
+    sd = {
+        "action_transformer.start_conv.weight": r(D_MODEL, 512, 1),
+        "action_transformer.start_conv.bias": r(D_MODEL),
+        "action_va_fc.weight": r(3, 8), "action_va_fc.bias": r(3),
+        "action_dist_fc.weight": r(1, 8), "action_dist_fc.bias": r(1),
+    }
+    for m in ("action_va_mlp", "action_dist_mlp"):
+        sd[f"{m}.affine_layers.0.weight"] = r(8, D_MODEL)
+        sd[f"{m}.affine_layers.0.bias"] = r(8)
+    for i in range(N_LAYERS):
+        p = f"action_transformer.layer_stack.{i}"
+        sd.update({
+            f"{p}.self_attn.w_q.weight": r(N_HEAD * DK, D_MODEL),
+            f"{p}.self_attn.w_q.bias": r(N_HEAD * DK),
+            f"{p}.self_attn.w_k.weight": r(N_HEAD * DK, D_MODEL),
+            f"{p}.self_attn.w_k.bias": r(N_HEAD * DK),
+            f"{p}.self_attn.w_v.weight": r(N_HEAD * DV, D_MODEL),
+            f"{p}.self_attn.w_v.bias": r(N_HEAD * DV),
+            f"{p}.self_attn.fc.weight": r(D_MODEL, N_HEAD * DV),
+            f"{p}.self_attn.fc.bias": r(D_MODEL),
+            f"{p}.self_attn.layer_norm.weight": torch.ones(D_MODEL),
+            f"{p}.self_attn.layer_norm.bias": r(D_MODEL),
+            f"{p}.pos_ffn.w_1.weight": r(D_MODEL, D_MODEL, 1),
+            f"{p}.pos_ffn.w_1.bias": r(D_MODEL),
+            f"{p}.pos_ffn.w_2.weight": r(D_MODEL, D_MODEL, 1),
+            f"{p}.pos_ffn.w_2.bias": r(D_MODEL),
+            f"{p}.pos_ffn.layer_norm.weight": torch.ones(D_MODEL),
+            f"{p}.pos_ffn.layer_norm.bias": r(D_MODEL),
+        })
+    params = convert_headformer({k: v.numpy() for k, v in sd.items()}, n_layers=N_LAYERS)
+    model = HeadFormer(d_model=D_MODEL, n_layers=N_LAYERS, n_head=N_HEAD,
+                       d_k=DK, d_v=DV, window=WINDOW, mlp_hsize=(8,))
+    va, dist = model.apply(
+        params, jnp.zeros((1, WINDOW, 512)), jnp.ones((1, WINDOW))
+    )
+    assert va.shape == (1, WINDOW, 3) and dist.shape == (1, WINDOW, 1)
+    assert np.isfinite(np.asarray(va)).all()
