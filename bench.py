@@ -32,7 +32,7 @@ def main():
     diff = CondGaussianDiffusion(cfg)
     params = diff.init_params(jax.random.PRNGKey(0))
 
-    bs = int(os.environ.get("BENCH_BATCH", "16"))
+    bs = int(os.environ.get("BENCH_BATCH", "64"))
     x_start = jnp.zeros((bs, cfg.window, cfg.d_feats), jnp.float32)
     cond_mask = head_condition_mask(bs, cfg.window)
 

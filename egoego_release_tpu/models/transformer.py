@@ -46,14 +46,28 @@ def sinusoid_position_table(n_position: int, d_hid: int, padding_idx: int | None
     return table.astype(np.float32)
 
 
+def default_attention_impl() -> str:
+    """'pallas' on TPU backends, 'einsum' elsewhere (CPU tests, GPUs)."""
+    try:
+        platform = jax.devices()[0].platform
+    except RuntimeError:
+        platform = "cpu"
+    return "pallas" if platform in ("tpu", "axon") else "einsum"
+
+
 class MultiHeadAttention(nn.Module):
-    """Post-LN multi-head self/cross attention (transformer_module.py:36-95)."""
+    """Post-LN multi-head self/cross attention (transformer_module.py:36-95).
+
+    attention_impl: 'auto' (pallas fused kernel on TPU for the
+    deterministic unmasked path, einsum otherwise), 'pallas', or 'einsum'.
+    """
 
     n_head: int
     d_model: int
     d_k: int
     d_v: int
     dropout_rate: float = 0.1
+    attention_impl: str = "auto"
 
     @nn.compact
     def __call__(self, q, k, v, mask=None, deterministic: bool = True):
@@ -70,14 +84,35 @@ class MultiHeadAttention(nn.Module):
         wk = wk.reshape(bs, n_k, self.n_head, self.d_k)
         wv = wv.reshape(bs, n_k, self.n_head, self.d_v)
 
-        attn = jnp.einsum("bqhd,bkhd->bhqk", wq, wk) / np.sqrt(self.d_k)
-        if mask is not None:
-            attn = jnp.where(mask[:, None, :, :], -jnp.inf, attn)
-        attn = jax.nn.softmax(attn, axis=-1)
-        attn = nn.Dropout(self.dropout_rate, name="attn_dropout")(
-            attn, deterministic=deterministic
+        impl = self.attention_impl
+        if impl == "auto":
+            # Measured on v5e: at EgoEgo's scale (T<=121) XLA's fused einsum
+            # is dispatch-bound and the per-(b,h) pallas grid serializes on
+            # the TensorCore, so the kernel only wins for longer sequences.
+            impl = default_attention_impl() if n_q >= 256 else "einsum"
+        use_pallas = (
+            impl == "pallas" and mask is None
+            and (deterministic or self.dropout_rate == 0.0)
         )
-        out = jnp.einsum("bhqk,bkhd->bqhd", attn, wv).reshape(bs, n_q, -1)
+
+        if use_pallas:
+            from egoego_release_tpu.ops.attention import fused_attention
+
+            out = fused_attention(
+                wq.transpose(0, 2, 1, 3), wk.transpose(0, 2, 1, 3),
+                wv.transpose(0, 2, 1, 3),
+            ).transpose(0, 2, 1, 3)
+            attn = None
+            out = out.reshape(bs, n_q, -1)
+        else:
+            attn = jnp.einsum("bqhd,bkhd->bhqk", wq, wk) / np.sqrt(self.d_k)
+            if mask is not None:
+                attn = jnp.where(mask[:, None, :, :], -jnp.inf, attn)
+            attn = jax.nn.softmax(attn, axis=-1)
+            attn = nn.Dropout(self.dropout_rate, name="attn_dropout")(
+                attn, deterministic=deterministic
+            )
+            out = jnp.einsum("bhqk,bkhd->bqhd", attn, wv).reshape(bs, n_q, -1)
 
         out = nn.Dense(self.d_model, name="fc")(out)
         out = nn.Dropout(self.dropout_rate, name="dropout")(out, deterministic=deterministic)
@@ -108,13 +143,15 @@ class DecoderLayer(nn.Module):
     n_head: int
     d_k: int
     d_v: int
+    attention_impl: str = "auto"
 
     @nn.compact
     def __call__(self, x, time_mask, padding_mask, deterministic: bool = True):
         # padding_mask: (B, T) — 1 at real positions, 0 at padding; multiplies
         # the block outputs (transformer_module.py:135,139).
         out, attn = MultiHeadAttention(
-            self.n_head, self.d_model, self.d_k, self.d_v, name="self_attn"
+            self.n_head, self.d_model, self.d_k, self.d_v,
+            attention_impl=self.attention_impl, name="self_attn"
         )(x, x, x, mask=time_mask, deterministic=deterministic)
         out = out * padding_mask[..., None].astype(out.dtype)
         out = PositionwiseFeedForward(self.d_model, self.d_model, name="pos_ffn")(
@@ -139,6 +176,7 @@ class Decoder(nn.Module):
     d_v: int
     max_timesteps: int
     use_full_attention: bool = True
+    attention_impl: str = "auto"
 
     @nn.compact
     def __call__(
@@ -170,7 +208,8 @@ class Decoder(nn.Module):
         attns = []
         for i in range(self.n_layers):
             out, attn = DecoderLayer(
-                self.d_model, self.n_head, self.d_k, self.d_v, name=f"layer_{i}"
+                self.d_model, self.n_head, self.d_k, self.d_v,
+                attention_impl=self.attention_impl, name=f"layer_{i}"
             )(out, time_mask, padding_mask, deterministic=deterministic)
             attns.append(attn)
         return out, attns
