@@ -1,0 +1,101 @@
+"""Stage-2 diffusion training CLI.
+
+Mirror of trainer_amass_cond_motion_diffusion.py run_train (:384-421):
+AMASS window dataset -> DiffusionTrainer (Adam 1e-4, grad-accum 2, EMA,
+NaN-skip) with orbax checkpoints, optional dp x tp mesh, JSONL/wandb logging,
+and opt.yaml run-settings dump.
+
+  python -m egoego_release_tpu.training.train_diffusion \
+      --config cfg.yaml [--set train.num_steps=10000 ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+
+from egoego_release_tpu.data.amass import AMASSWindowDataset
+from egoego_release_tpu.diffusion.gaussian_diffusion import (
+    CondGaussianDiffusion,
+    DiffusionConfig,
+)
+from egoego_release_tpu.eval.build import load_rest_offsets
+from egoego_release_tpu.training.trainer_diffusion import DiffusionTrainer, save_checkpoint
+from egoego_release_tpu.utils.config import load_config
+from egoego_release_tpu.utils.logging import MetricLogger, profile_trace, save_run_config
+
+
+def run(cfg, train_data_path: str):
+    save_dir = os.path.join(cfg.logging.save_dir, cfg.logging.exp_name)
+    save_run_config(cfg, save_dir)
+    logger = MetricLogger(save_dir, cfg.logging.use_wandb,
+                          cfg.logging.wandb_project, cfg.logging.exp_name)
+
+    rest = load_rest_offsets(cfg.data.smplh_path or None, cfg.data.rest_offsets or None)
+    ds = AMASSWindowDataset(
+        train_data_path, rest, window=cfg.data.window,
+        canonicalize_init_head=cfg.data.canonicalize_init_head,
+        stats_path=cfg.data.stats_path or None,
+    )
+    print(f"training windows: {len(ds)}")
+
+    mesh = None
+    if cfg.parallel.tp > 1 or cfg.parallel.dp > 1:
+        from egoego_release_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(dp=cfg.parallel.dp or None, tp=cfg.parallel.tp)
+        print(f"mesh: {dict(mesh.shape)}")
+
+    s2 = cfg.stage2
+    diffusion = CondGaussianDiffusion(DiffusionConfig(
+        d_model=s2.d_model, n_dec_layers=s2.n_dec_layers, n_head=s2.n_head,
+        d_k=s2.d_k, d_v=s2.d_v, window=s2.window, timesteps=s2.timesteps,
+        objective=s2.objective, beta_schedule=s2.beta_schedule,
+        loss_type=s2.loss_type,
+    ))
+    trainer = DiffusionTrainer(
+        diffusion, lr=cfg.train.learning_rate, grad_accum=cfg.train.grad_accum,
+        ema_decay=cfg.train.ema_decay, ema_update_every=cfg.train.ema_update_every,
+        ema_step_start=cfg.train.ema_step_start, mesh=mesh,
+    )
+    key = jax.random.PRNGKey(cfg.train.seed)
+    key, k_init, k_data = jax.random.split(key, 3)
+    state = trainer.init_state(k_init)
+    if mesh is not None:
+        from egoego_release_tpu.parallel.mesh import shard_params
+
+        state = state._replace(params=shard_params(state.params, mesh))
+
+    batches = ds.batch_iterator(cfg.data.batch_size * cfg.train.grad_accum, k_data)
+    ckpt_dir = os.path.join(save_dir, "weights")
+
+    with profile_trace(cfg.logging.profile_dir or None):
+        for i in range(cfg.train.num_steps):
+            key, sk = jax.random.split(key)
+            state, loss = trainer.train_step(state, next(batches), sk)
+            if (i + 1) % cfg.logging.log_every == 0:
+                logger.log(int(state.step), loss=float(loss),
+                           nan_count=int(state.nan_count))
+                print(f"step {int(state.step)}: loss {float(loss):.5f}")
+            if int(state.step) % cfg.train.save_every == 0:
+                path = save_checkpoint(ckpt_dir, state)
+                print("checkpoint:", path)
+    save_checkpoint(ckpt_dir, state)
+    logger.close()
+    return state
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default=None)
+    p.add_argument("--train_data_path", required=True)
+    p.add_argument("--set", nargs="*", default=[], help="dotted overrides a.b=c")
+    args = p.parse_args(argv)
+    cfg = load_config(args.config, overrides=args.set)
+    run(cfg, args.train_data_path)
+
+
+if __name__ == "__main__":
+    main()
