@@ -53,18 +53,23 @@ def load_droidslam(path: str):
     return trans, mat, quat
 
 
-def load_of_feats(of_files: list[str], rewrite: tuple[str, str] | None = None) -> np.ndarray:
+def load_of_feats(of_files: list[str], rewrite: tuple[str, str] | None = None,
+                  feat_dim: int = 512) -> np.ndarray:
     """Stack per-frame optical-flow feature npys -> (T, 512).  `rewrite`
     maps the absolute paths stored in the pickles onto the local data root
     (the reference hardcodes the authors' cluster paths —
-    ares_headpose_dataset.py:163-166)."""
-    feats = []
+    ares_headpose_dataset.py:163-166).
+
+    Reads through the native multithreaded C++ loader when available
+    (data/native_loader.py); numpy fallback otherwise."""
+    from egoego_release_tpu.data.native_loader import load_npy_batch
+
+    paths = []
     for f in of_files:
         if rewrite is not None:
             f = f.replace(rewrite[0], rewrite[1])
-        f = f.replace("raft_flows", "raft_of_feats")
-        feats.append(np.load(f))
-    return np.stack(feats).astype(np.float32)
+        paths.append(f.replace("raft_flows", "raft_of_feats"))
+    return load_npy_batch(paths, feat_dim)
 
 
 def find_slam_npy(slam_res_folder: str, seq_name: str) -> str | None:

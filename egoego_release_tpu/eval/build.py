@@ -60,7 +60,13 @@ def build_pipeline(
     rest_offsets = load_rest_offsets(smplh_path, rest_offsets_path)
 
     diffusion = CondGaussianDiffusion(DiffusionConfig(window=window))
-    if diffusion_ckpt and os.path.exists(diffusion_ckpt):
+    if diffusion_ckpt and os.path.isdir(diffusion_ckpt):
+        # orbax checkpoint produced by training.trainer_diffusion (EMA weights)
+        from egoego_release_tpu.training.trainer_diffusion import load_checkpoint
+
+        ckpt = load_checkpoint(diffusion_ckpt)
+        params = jax.tree.map(jnp.asarray, ckpt.get("ema", ckpt.get("model")))
+    elif diffusion_ckpt and os.path.exists(diffusion_ckpt):
         params, _ = torch_ckpt.load_stage2_diffusion_ckpt(diffusion_ckpt)
     else:
         print("WARNING: no stage-2 checkpoint; using random init")

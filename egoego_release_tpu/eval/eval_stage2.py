@@ -40,34 +40,69 @@ def run(opt) -> dict:
     key = jax.random.PRNGKey(opt.seed)
     agg: dict[str, list] = {}
     per_seq = {}
-    n_eval = 0
+
+    # gather eligible sequences (first `window` frames of long-enough seqs,
+    # Transitions_mocap/HumanEva subsets — eval_stage2.py:94,114)
+    eligible = []
     for idx in data:
         rec = data[idx]
         seq_name = rec.get("seq_name", str(idx))
         if opt.filter_subsets and not any(s in seq_name for s in TEST_SUBSETS):
             continue
-        t = min(opt.window, rec["trans"].shape[0])
-        if t < opt.window:
-            continue  # reference uses first `window` frames of long-enough seqs
+        if rec["trans"].shape[0] < opt.window:
+            continue
+        eligible.append((seq_name, rec))
+        if opt.max_seqs and len(eligible) >= opt.max_seqs:
+            break
 
-        gt_jrot, gt_jpos, gt_head_pose = gt_from_smpl_params(
-            pipeline,
-            rec["trans"][:t], rec["root_orient"][:t],
-            rec["body_pose"][:t],
-        )
-        key, sk = jax.random.split(key)
-        md, _ = evaluate_sequence(
-            pipeline, np.asarray(gt_head_pose), gt_jrot, gt_jpos, sk,
-            sample_bs=opt.sample_bs,
-        )
-        per_seq[seq_name] = {k: float(np.mean(v)) for k, v in md.items() if k != "single_jpe"}
+    def record_result(seq_name, md):
+        per_seq[seq_name] = {
+            k: float(np.mean(v)) for k, v in md.items() if k != "single_jpe"
+        }
         for k, v in per_seq[seq_name].items():
             agg.setdefault(k, []).append(v)
-        n_eval += 1
-        print(f"[{n_eval}] {seq_name}: mpjpe={per_seq[seq_name]['mpjpe']:.2f}mm "
+        print(f"[{len(per_seq)}] {seq_name}: mpjpe={per_seq[seq_name]['mpjpe']:.2f}mm "
               f"head_dist={per_seq[seq_name]['head_dist']:.4f}")
-        if opt.max_seqs and n_eval >= opt.max_seqs:
-            break
+
+    if opt.sample_bs > 1 or opt.batch_seqs <= 1:
+        # per-sequence path (best-of-sample_bs selection, like the reference)
+        for seq_name, rec in eligible:
+            t = opt.window
+            gt_jrot, gt_jpos, gt_head_pose = gt_from_smpl_params(
+                pipeline, rec["trans"][:t], rec["root_orient"][:t], rec["body_pose"][:t]
+            )
+            key, sk = jax.random.split(key)
+            md, _ = evaluate_sequence(
+                pipeline, np.asarray(gt_head_pose), gt_jrot, gt_jpos, sk,
+                sample_bs=opt.sample_bs,
+            )
+            record_result(seq_name, md)
+    else:
+        # batched path: N single-window sequences share one diffusion chain
+        from egoego_release_tpu.eval.pipeline import evaluate_batch
+        import jax.numpy as jnp
+
+        for s in range(0, len(eligible), opt.batch_seqs):
+            chunk = eligible[s : s + opt.batch_seqs]
+            t = opt.window
+            gts = [
+                gt_from_smpl_params(
+                    pipeline, rec["trans"][:t], rec["root_orient"][:t],
+                    rec["body_pose"][:t],
+                )
+                for _, rec in chunk
+            ]
+            key, sk = jax.random.split(key)
+            mds = evaluate_batch(
+                pipeline,
+                np.stack([np.asarray(g[2]) for g in gts]),
+                jnp.stack([g[0] for g in gts]),
+                jnp.stack([g[1] for g in gts]),
+                sk,
+            )
+            for (seq_name, _), md in zip(chunk, mds):
+                record_result(seq_name, md)
+    n_eval = len(per_seq)
 
     summary = {k: float(np.mean(v)) for k, v in agg.items()}
     result = {"mean": summary, "per_seq": per_seq, "num_seqs": n_eval}
@@ -91,6 +126,8 @@ def parse_opt(argv=None):
     p.add_argument("--rest_offsets", default=None)
     p.add_argument("--window", type=int, default=120)
     p.add_argument("--sample_bs", type=int, default=1)
+    p.add_argument("--batch_seqs", type=int, default=16,
+                   help="sequences per diffusion batch (TPU-native batched eval)")
     p.add_argument("--max_seqs", type=int, default=0)
     p.add_argument("--filter_subsets", action="store_true", default=True)
     p.add_argument("--no_filter_subsets", dest="filter_subsets", action="store_false")

@@ -97,6 +97,14 @@ class EgoEgoPipeline:
             rep[:, :, :3], rep[:, :, 3:], self.stats, self.rest_offsets,
         )
 
+    def stage2_generate_batched(self, head_poses: jnp.ndarray, key):
+        """(N, T, 7) distinct sequences sampled as one batch."""
+        return self.diffusion.sample_sliding_window_w_canonical(
+            self.diffusion_params, key,
+            head_poses[:, :, :3], head_poses[:, :, 3:],
+            self.stats, self.rest_offsets,
+        )
+
     def fk(self, root_pos: jnp.ndarray, local_aa: jnp.ndarray):
         """(B, T, 3) + (B, T, 22, 3) -> (B, T, 22, 4), (B, T, 22, 3)."""
         b, t = root_pos.shape[:2]
@@ -149,6 +157,47 @@ def evaluate_sequence(
         "pred_jpos": np.asarray(pred_jpos_c[s]),
         "pred_jrot": np.asarray(pred_jrot[s]),
     }
+
+
+def evaluate_batch(
+    pipeline: EgoEgoPipeline,
+    head_poses: np.ndarray,        # (N, T, 7) per-sequence conditions
+    gt_global_jrot: jnp.ndarray,   # (N, T, 22, 4)
+    gt_global_jpos: jnp.ndarray,   # (N, T, 22, 3)
+    key,
+):
+    """Batched multi-sequence eval: N sequences sampled in ONE diffusion
+    chain (batch dim over sequences) + vmapped metrics.  The reference
+    evaluates sequences one at a time (eval_stage2.py per-seq loop); on TPU
+    batching N single-window sequences costs the same 1000 steps once.
+
+    Floor estimation stays per-sequence host-side (scalar clustering).
+    Returns a list of N metric dicts.
+    """
+    hp = jnp.asarray(head_poses)
+    local_aa, root_pos = pipeline.stage2_generate_batched(hp, key)
+    pred_jrot, pred_jpos = pipeline.fk(root_pos, local_aa)
+
+    t = min(pred_jpos.shape[1], gt_global_jpos.shape[1])
+    gt_move = (gt_global_jpos[:, 0:1, HEAD_IDX:HEAD_IDX + 1, :]
+               * jnp.asarray([1.0, 1.0, 0.0]))
+    pred_move = pred_jpos[:, 0:1, HEAD_IDX:HEAD_IDX + 1, :] * jnp.asarray([1.0, 1.0, 0.0])
+    gt_jpos_c = gt_global_jpos[:, :t] - gt_move
+    pred_jpos_c = pred_jpos[:, :t] - pred_move
+
+    n = hp.shape[0]
+    pred_floors = jnp.asarray([
+        geometry.determine_floor_height_and_contacts(np.asarray(pred_jpos_c[s]), 30)[0]
+        for s in range(n)
+    ], dtype=jnp.float32)
+
+    md = metrics_mod.batched_metrics_for_smpl(
+        gt_global_jrot[:, :t], gt_jpos_c, jnp.zeros((n,), jnp.float32),
+        pred_jrot[:, :t], pred_jpos_c, pred_floors,
+    )
+    return [
+        {k: np.asarray(v[s]) for k, v in md.items()} for s in range(n)
+    ]
 
 
 def gt_from_smpl_params(pipeline: EgoEgoPipeline, trans, root_orient, body_pose):

@@ -162,10 +162,33 @@ def save_checkpoint(ckpt_dir: str, state: TrainState) -> str:
             "step": np.asarray(state.step),
             "model": jax.tree.map(np.asarray, state.params),
             "ema": jax.tree.map(np.asarray, state.ema_params),
+            # the reference drops optimizer state on resume (its ckpt schema
+            # is {step, model, ema, scaler}); we keep Adam moments so resume
+            # continues the exact trajectory
+            "opt_state": jax.tree.map(np.asarray, state.opt_state),
+            "nan_count": np.asarray(state.nan_count),
         },
         force=True,
     )
     return path
+
+
+def restore_state(path: str, trainer: "DiffusionTrainer") -> TrainState:
+    """Load an orbax checkpoint back into a TrainState (exact resume)."""
+    ckpt = load_checkpoint(path)
+    init = trainer.init_state(jax.random.PRNGKey(0))
+    to_jnp = lambda t: jax.tree.map(jnp.asarray, t)
+    opt_state = jax.tree.unflatten(
+        jax.tree.structure(init.opt_state),
+        jax.tree.leaves(jax.tree.map(jnp.asarray, ckpt["opt_state"])),
+    )
+    return TrainState(
+        params=to_jnp(ckpt["model"]),
+        opt_state=opt_state,
+        ema_params=to_jnp(ckpt["ema"]),
+        step=jnp.asarray(ckpt["step"], jnp.int32),
+        nan_count=jnp.asarray(ckpt.get("nan_count", 0), jnp.int32),
+    )
 
 
 def load_checkpoint(path: str) -> dict:

@@ -158,3 +158,39 @@ def save_yaml(cfg, path: str) -> None:
 
     with open(path, "w") as f:
         yaml.safe_dump(to_dict(cfg), f, sort_keys=False)
+
+
+class KinpolyConfig:
+    """Read-only view over a kinpoly experiment YAML (the reference's
+    `Config` — kinpoly/relive/utils/statear_smpl_config.py — minus the
+    hardcoded base_dir and construction-time directory creation).
+
+    Exposes the YAML keys as attributes with .get()-style defaults; the
+    commonly used groups (model_specs, policy_specs, loss weights, data
+    paths) pass through unchanged so existing kinpoly YAMLs load as-is.
+    """
+
+    def __init__(self, path_or_dict):
+        if isinstance(path_or_dict, str):
+            import yaml
+
+            with open(path_or_dict) as f:
+                self._d = yaml.safe_load(f) or {}
+        else:
+            self._d = dict(path_or_dict)
+
+    def __getattr__(self, name):
+        try:
+            return self._d[name]
+        except KeyError:
+            raise AttributeError(name) from None
+
+    def get(self, name, default=None):
+        return self._d.get(name, default)
+
+    @property
+    def model_specs(self) -> dict:
+        return self._d.get("model_specs", {})
+
+    def as_dict(self) -> dict:
+        return dict(self._d)
