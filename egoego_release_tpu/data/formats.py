@@ -33,9 +33,14 @@ def load_motion_dict(path: str) -> dict:
 def load_norm_stats(path: str) -> NormStats:
     """Load min/max stats (e.g. cano_min_max_mean_std_data_window_120.p)."""
     d = joblib.load(path)
+    r = lambda k: (
+        jnp.asarray(np.asarray(d[k], np.float32).reshape(22, 3)) if k in d else None
+    )
     return NormStats(
-        jpos_min=jnp.asarray(np.asarray(d["global_jpos_min"], np.float32).reshape(22, 3)),
-        jpos_max=jnp.asarray(np.asarray(d["global_jpos_max"], np.float32).reshape(22, 3)),
+        jpos_min=r("global_jpos_min"),
+        jpos_max=r("global_jpos_max"),
+        jvel_min=r("global_jvel_min"),
+        jvel_max=r("global_jvel_max"),
     )
 
 

@@ -19,6 +19,22 @@ from egoego_release_tpu.data import formats
 from egoego_release_tpu.ops import alignment
 
 
+def augment_flow(flow: np.ndarray, rng: np.random.RandomState,
+                 crop_size: int = 224, scale_range: tuple[int, int] = (230, 384)) -> np.ndarray:
+    """Raw-flow training augmentation: random rescale + crop + gaussian noise
+    (ares_headpose_dataset.py:172-192).  Used by the input_of_feats=False
+    HeadNet path; host-side numpy (nearest-neighbor resize, no cv2 dep)."""
+    scale = rng.randint(*scale_range)
+    h, w = flow.shape[:2]
+    yi = np.linspace(0, h - 1, scale).astype(int)
+    xi = np.linspace(0, w - 1, scale).astype(int)
+    flow = flow[yi][:, xi]
+    top = rng.randint(0, scale - crop_size)
+    left = rng.randint(0, scale - crop_size)
+    flow = flow[top : top + crop_size, left : left + crop_size]
+    return flow + rng.normal(0.0, 1.0, flow.shape)
+
+
 class HeadPoseSequenceDataset:
     """Sequences with head pose, OF features, and attached DROID-SLAM results.
 

@@ -65,10 +65,13 @@ class DiffusionConfig:
 
 
 class NormStats(NamedTuple):
-    """Min/max normalization stats (amass_diffusion_dataset.py:379-392)."""
+    """Min/max normalization stats (amass_diffusion_dataset.py:379-407).
+    jvel stats are optional (only the jpos path is exercised at inference)."""
 
     jpos_min: Array  # (22, 3)
     jpos_max: Array  # (22, 3)
+    jvel_min: Array | None = None  # (22, 3)
+    jvel_max: Array | None = None  # (22, 3)
 
 
 def normalize_jpos(jpos: Array, stats: NormStats) -> Array:
@@ -78,6 +81,15 @@ def normalize_jpos(jpos: Array, stats: NormStats) -> Array:
 
 def de_normalize_jpos(n: Array, stats: NormStats) -> Array:
     return (n + 1.0) * 0.5 * (stats.jpos_max - stats.jpos_min) + stats.jpos_min
+
+
+def normalize_jvel(jvel: Array, stats: NormStats) -> Array:
+    """(amass_diffusion_dataset.py:394-400)."""
+    return (jvel - stats.jvel_min) / (stats.jvel_max - stats.jvel_min) * 2.0 - 1.0
+
+
+def de_normalize_jvel(n: Array, stats: NormStats) -> Array:
+    return (n + 1.0) * 0.5 * (stats.jvel_max - stats.jvel_min) + stats.jvel_min
 
 
 def head_condition_mask(bs: int, t: int, joint_idx: int = HEAD_IDX) -> Array:
@@ -330,6 +342,82 @@ class CondGaussianDiffusion:
     @functools.partial(jax.jit, static_argnums=(0,))
     def _next_inpaint_jit(self, root_pos, local_aa, rest_offsets, stats):
         return self._next_window_inpaint(root_pos, local_aa, rest_offsets, stats)
+
+    def sample_sliding_window_parallel(
+        self,
+        params,
+        key,
+        head_jpos: Array,      # (B, T, 3)
+        head_jquat: Array,     # (B, T, 4)
+        stats: NormStats,
+        rest_offsets: Array,
+    ):
+        """Throughput mode (documented DEVIATION from the reference): all
+        windows of all sequences are canonicalized and denoised as ONE batch
+        — no inter-window inpainting chain — then stitched by head-position
+        continuity with a linear crossfade over the overlap.
+
+        The reference's chain (p_sample_loop_sliding_window_w_canonical)
+        serializes windows because each window inpaints the previous
+        window's last `overlap` frames every DDPM step (SURVEY §5).  Dropping
+        that dependency trades a possible seam (smoothed by the crossfade)
+        for sampling every window concurrently: a W-window sequence costs
+        one 1000-step scan instead of W.
+
+        Returns (local_aa (B, T', 22, 3), root_pos (B, T', 3)).
+        """
+        cfg = self.cfg
+        bsz, num_steps = head_jpos.shape[:2]
+        stride = cfg.window - cfg.overlap_frames
+        ov = cfg.overlap_frames
+
+        starts = [t for t in range(0, num_steps, stride)
+                  if min(cfg.window, num_steps - t) > ov]
+        full = [t for t in starts if num_steps - t >= cfg.window]
+        ragged = [t for t in starts if num_steps - t < cfg.window]
+
+        results: dict[int, tuple] = {}
+        if full:
+            w_jpos = jnp.stack([head_jpos[:, t : t + cfg.window] for t in full], 0)
+            w_jquat = jnp.stack([head_jquat[:, t : t + cfg.window] for t in full], 0)
+            w_jpos = w_jpos.reshape(-1, cfg.window, 3)
+            w_jquat = w_jquat.reshape(-1, cfg.window, 4)
+            key, kw = jax.random.split(key)
+            aa, root, headp = self._sample_window_jit(
+                params, kw, w_jpos, w_jquat, (stats, rest_offsets), False
+            )
+            aa = aa.reshape(len(full), bsz, cfg.window, NUM_JOINTS, 3)
+            root = root.reshape(len(full), bsz, cfg.window, 3)
+            headp = headp.reshape(len(full), bsz, cfg.window, 3)
+            for i, t in enumerate(full):
+                results[t] = (aa[i], root[i], headp[i])
+        for t in ragged:
+            tw = num_steps - t
+            key, kw = jax.random.split(key)
+            results[t] = self._sample_window_jit(
+                params, kw, head_jpos[:, t : t + tw], head_jquat[:, t : t + tw],
+                (stats, rest_offsets), False,
+            )
+
+        # stitch: head-position continuity + linear crossfade on root over
+        # the overlap (rotations switch at the seam)
+        whole_aa = whole_root = whole_head = None
+        fade = jnp.linspace(0.0, 1.0, ov)[None, :, None]
+        for t in starts:
+            aa, root, headp = results[t]
+            if whole_aa is None:
+                whole_aa, whole_root, whole_head = aa, root, headp
+                continue
+            move = whole_head[:, -1:, :] - headp[:, ov - 1 : ov, :]
+            root = root + move
+            headp = headp + move
+            blended = whole_root[:, -ov:] * (1 - fade) + root[:, :ov] * fade
+            whole_root = jnp.concatenate(
+                [whole_root[:, :-ov], blended, root[:, ov:]], axis=1
+            )
+            whole_aa = jnp.concatenate([whole_aa, aa[:, ov:]], axis=1)
+            whole_head = jnp.concatenate([whole_head, headp[:, ov:]], axis=1)
+        return whole_aa, whole_root
 
     def sample_sliding_window_w_canonical(
         self,

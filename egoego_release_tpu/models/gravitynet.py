@@ -132,6 +132,31 @@ def gravitynet_eval_transform(
     }
 
 
+def gravitynet_eval_upper_bound(
+    gt_aligned_rot_mat: Array,  # (3, 3) GT gravity-align rotation
+    slam_rot_mat: Array,        # (T, 3, 3)
+    slam_trans: Array,          # (T, 3)
+    gt_scale: Array,            # scalar GT inverse scale
+    gt_head_trans0: Array,      # (3,) GT first-frame head translation
+):
+    """Oracle upper bound: GT rotation + GT scale applied to the SLAM
+    trajectory (forward_for_eval_upper_bound,
+    head_normal_estimation_transformer.py:296-332) — isolates how much error
+    comes from GravityNet's predictions vs. SLAM itself."""
+    trans_diff = slam_trans[1:] - slam_trans[:-1]
+    diff_rs = jnp.einsum("ij,tj->ti", gt_aligned_rot_mat, trans_diff) * gt_scale
+    trans_rs = gt_head_trans0 + jnp.concatenate(
+        [jnp.zeros((1, 3), slam_trans.dtype), jnp.cumsum(diff_rs, axis=0)]
+    )
+    rot_aligned = jnp.einsum("ij,tjk->tik", gt_aligned_rot_mat, slam_rot_mat)
+    quat_aligned = rot.matrix_to_quat(rot_aligned)
+    return {
+        "head_trans": trans_rs,
+        "head_rot_mat": rot_aligned,
+        "head_pose": jnp.concatenate([trans_rs, quat_aligned], axis=-1),
+    }
+
+
 def gravitynet_loss(pred_normal: Array, gt_normal: Array) -> Array:
     """L1 normal loss (head_normal_estimation_transformer.py:334-342)."""
     return jnp.sum(jnp.abs(gt_normal - pred_normal), axis=-1).mean()

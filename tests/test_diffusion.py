@@ -123,3 +123,24 @@ def test_sliding_window_sampler_shapes():
     assert root.shape == (bs, 30, 3)
     assert np.isfinite(np.asarray(aa)).all()
     assert np.isfinite(np.asarray(root)).all()
+
+
+def test_parallel_window_sampler_shapes():
+    diff, params = _small_model()
+    bs, total_t = 2, 30
+    rng = np.random.RandomState(5)
+    q = rng.randn(bs, total_t, 4).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    jpos = rng.randn(bs, total_t, 3).astype(np.float32)
+    stats = NormStats(jnp.full((22, 3), -3.0), jnp.full((22, 3), 3.0))
+    rest = jnp.asarray(rng.randn(22, 3).astype(np.float32) * 0.1).at[0].set(0.0)
+
+    aa, root = diff.sample_sliding_window_parallel(
+        params, jax.random.PRNGKey(8), jnp.asarray(jpos), jnp.asarray(q), stats, rest
+    )
+    # same coverage as the chained sampler: [0:12],[8:20],[16:28],[24:30]
+    assert aa.shape == (bs, 30, 22, 3)
+    assert root.shape == (bs, 30, 3)
+    assert np.isfinite(np.asarray(aa)).all()
+    # head continuity at seams: overlapping stitch keeps finite, bounded roots
+    assert np.abs(np.asarray(root)).max() < 100

@@ -150,3 +150,81 @@ def test_qpos_expert_conversion():
     err = (sR.from_rotvec(np.asarray(aa2)[:, :22].reshape(-1, 3)).inv()
            * sR.from_rotvec(aa.reshape(-1, 3))).magnitude()
     assert err.max() < 1e-3
+
+
+def test_ares_processing_cli(tmp_path):
+    import joblib
+    import jax.numpy as jnp
+    from egoego_release_tpu.preprocess.ares import process_root
+
+    rng = np.random.RandomState(5)
+    # synthetic SMPL model npz
+    V, J = 60, 52
+    smplh = os.path.join(tmp_path, "smplh", "male")
+    os.makedirs(smplh)
+    parents = np.zeros(J, dtype=np.int64)
+    parents[1:22] = [0, 0, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 9, 9, 12, 13, 14, 16, 17, 18, 19]
+    parents[22:] = 20
+    w = np.abs(rng.randn(V, J)); w /= w.sum(-1, keepdims=True)
+    np.savez(os.path.join(smplh, "model.npz"),
+             v_template=rng.randn(V, 3) * 0.3,
+             shapedirs=rng.randn(V, 3, 16) * 0.01,
+             posedirs=rng.randn(V, 3, (J - 1) * 9) * 0.001,
+             J_regressor=np.abs(rng.randn(J, V)) / V,
+             weights=w, kintree_table=np.stack([parents, np.arange(J)]))
+
+    # synthetic rendered sequence: flows + motion npz
+    seq = os.path.join(tmp_path, "rendered", "office_0", "seq1")
+    os.makedirs(os.path.join(seq, "raft_flows"))
+    t = 20
+    for i in range(t - 1):
+        np.save(os.path.join(seq, "raft_flows", f"{i:05d}.npy"),
+                rng.randn(8, 8, 2).astype(np.float32))
+    np.savez(os.path.join(seq, "ori_motion_seq.npz"),
+             root_orient=(rng.randn(t, 3) * 0.2).astype(np.float32),
+             pose_body=(rng.randn(t, 63) * 0.2).astype(np.float32),
+             trans=np.cumsum(rng.randn(t, 3) * 0.01, 0).astype(np.float32),
+             betas=np.zeros(16, np.float32), gender="male")
+
+    out = process_root(os.path.join(tmp_path, "rendered"),
+                       os.path.join(tmp_path, "smplh"),
+                       os.path.join(tmp_path, "out"))
+    data = joblib.load(out)
+    rec = data["office_0-seq1"]
+    assert rec["head_qpos"].shape == (t, 7)
+    assert len(rec["of_files"]) == t - 1
+    # scene split: office_0 is an ARES TEST scene
+    test = joblib.load(os.path.join(tmp_path, "out", "test_ares_smplh_motion.p"))
+    assert len(test) == 1
+
+
+def test_gravitynet_upper_bound_and_jvel_norm():
+    import jax.numpy as jnp
+    from scipy.spatial.transform import Rotation as sR
+    from egoego_release_tpu.models.gravitynet import gravitynet_eval_upper_bound
+    from egoego_release_tpu.diffusion.gaussian_diffusion import (
+        NormStats, normalize_jvel, de_normalize_jvel,
+    )
+
+    rng = np.random.RandomState(6)
+    t = 15
+    slam_rot = sR.random(t, random_state=7).as_matrix().astype(np.float32)
+    slam_trans = np.cumsum(rng.randn(t, 3) * 0.01, 0).astype(np.float32)
+    gt_rot = sR.random(random_state=8).as_matrix().astype(np.float32)
+    out = gravitynet_eval_upper_bound(
+        jnp.asarray(gt_rot), jnp.asarray(slam_rot), jnp.asarray(slam_trans),
+        jnp.float32(3.0), jnp.asarray([1.0, 2.0, 3.0]),
+    )
+    np.testing.assert_allclose(np.asarray(out["head_trans"][0]), [1, 2, 3], atol=1e-5)
+    d_out = np.linalg.norm(np.diff(np.asarray(out["head_trans"]), 0, 0) if False else
+                           np.diff(np.asarray(out["head_trans"]), axis=0), axis=1)
+    d_in = np.linalg.norm(np.diff(slam_trans, axis=0), axis=1)
+    np.testing.assert_allclose(d_out, 3.0 * d_in, rtol=1e-3)
+
+    stats = NormStats(jnp.zeros((22, 3)), jnp.ones((22, 3)),
+                      jnp.full((22, 3), -2.0), jnp.full((22, 3), 2.0))
+    v = jnp.asarray(rng.randn(5, 22, 3).astype(np.float32))
+    np.testing.assert_allclose(
+        np.asarray(de_normalize_jvel(normalize_jvel(v, stats), stats)),
+        np.asarray(v), atol=1e-5,
+    )
