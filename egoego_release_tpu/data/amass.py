@@ -174,9 +174,15 @@ class AMASSWindowDataset:
         DataLoader — trainer_amass_cond_motion_diffusion.py:26-29)."""
         rng = np.random.RandomState(int(jax.random.randint(key, (), 0, 2**31 - 1)))
         n = len(self)
+        if n == 0:
+            raise ValueError("empty dataset")
         while True:
-            idx = rng.permutation(n) if shuffle else np.arange(n)
-            for i in range(0, n - batch_size + 1, batch_size):
+            if n < batch_size:
+                # small datasets: sample with replacement rather than spinning
+                idx = rng.randint(0, n, size=batch_size)
+            else:
+                idx = rng.permutation(n) if shuffle else np.arange(n)
+            for i in range(0, max(len(idx) - batch_size + 1, 1), batch_size):
                 items = [self[j] for j in idx[i : i + batch_size]]
                 yield {
                     "motion": np.stack([it["motion"] for it in items]),

@@ -71,6 +71,19 @@ def run(cfg, train_data_path: str):
     batches = ds.batch_iterator(cfg.data.batch_size * cfg.train.grad_accum, k_data)
     ckpt_dir = os.path.join(save_dir, "weights")
 
+    # preemption safety: SIGTERM/SIGINT checkpoint-and-exit (the reference
+    # has no preemption handling — SURVEY §5 failure detection)
+    import signal
+
+    stop = {"flag": False}
+
+    def _handler(signum, frame):
+        print(f"signal {signum}: checkpointing and stopping")
+        stop["flag"] = True
+
+    signal.signal(signal.SIGTERM, _handler)
+    signal.signal(signal.SIGINT, _handler)
+
     with profile_trace(cfg.logging.profile_dir or None):
         for i in range(cfg.train.num_steps):
             key, sk = jax.random.split(key)
@@ -79,9 +92,11 @@ def run(cfg, train_data_path: str):
                 logger.log(int(state.step), loss=float(loss),
                            nan_count=int(state.nan_count))
                 print(f"step {int(state.step)}: loss {float(loss):.5f}")
-            if int(state.step) % cfg.train.save_every == 0:
+            if int(state.step) % cfg.train.save_every == 0 or stop["flag"]:
                 path = save_checkpoint(ckpt_dir, state)
                 print("checkpoint:", path)
+            if stop["flag"]:
+                break
     save_checkpoint(ckpt_dir, state)
     logger.close()
     return state
