@@ -85,3 +85,17 @@ def test_stage1_metrics_identity():
     pose = np.concatenate([rng.randn(10, 3).astype(np.float32), q], -1)
     hd, hrd, hte = stage1_metrics(pose, pose)
     assert hd < 1e-4 and hrd < 1e-4 and hte < 1e-2
+
+
+def test_pipeline_deterministic_under_fixed_seed():
+    """Same key -> bit-identical generation (regression guard: the reference
+    relies on global torch RNG and is not reproducible)."""
+    pipe = make_pipeline()
+    gq, gp, head_pose = synth_gt(pipe, t=20)
+    k = jax.random.PRNGKey(42)
+    aa1, r1 = pipe.stage2_generate(head_pose, k)
+    aa2, r2 = pipe.stage2_generate(head_pose, k)
+    np.testing.assert_array_equal(np.asarray(aa1), np.asarray(aa2))
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+    aa3, _ = pipe.stage2_generate(head_pose, jax.random.PRNGKey(43))
+    assert np.abs(np.asarray(aa1) - np.asarray(aa3)).max() > 1e-6
