@@ -62,6 +62,7 @@ class DiffusionConfig:
     p2_loss_weight_gamma: float = 0.0
     p2_loss_weight_k: float = 1.0
     overlap_frames: int = 10       # sliding-window overlap (:351)
+    compute_dtype: str = "float32"  # "bfloat16" = faster sampling (small drift)
 
 
 class NormStats(NamedTuple):
@@ -120,6 +121,7 @@ class CondGaussianDiffusion:
             d_k=cfg.d_k,
             d_v=cfg.d_v,
             max_timesteps=cfg.window + 1,
+            dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
         )
 
     # -- setup ------------------------------------------------------------
@@ -244,6 +246,57 @@ class CondGaussianDiffusion:
         ts = jnp.arange(self.cfg.timesteps - 1, -1, -1)
         # unroll amortizes scan bookkeeping; +~4% measured on v5e at bs=64
         (x, _), _ = jax.lax.scan(step, (x, k_loop), ts, unroll=4)
+        return x
+
+    def p_sample_loop_ddim(
+        self,
+        params,
+        key,
+        x_start: Array,
+        cond_mask: Array,
+        num_steps: int = 50,
+        eta: float = 0.0,
+        padding_mask: Array | None = None,
+    ) -> Array:
+        """DDIM sampling (Song et al. 2021) — an OPTIONAL fast sampler the
+        reference does not have: the same trained pred-x0 denoiser driven
+        over a strided subset of the 1000 timesteps.  num_steps=50 is ~20x
+        fewer denoiser calls than the reference's DDPM chain; eta=0 is the
+        deterministic variant."""
+        bs = x_start.shape[0]
+        c = self.consts
+        k_init, k_cond, k_loop = jax.random.split(key, 3)
+        x = jax.random.normal(k_init, x_start.shape, x_start.dtype)
+        x_cond = x_start * (1.0 - cond_mask) + cond_mask * jax.random.normal(
+            k_cond, x_start.shape, x_start.dtype
+        )
+
+        ts = jnp.linspace(0, self.cfg.timesteps - 1, num_steps).astype(jnp.int32)[::-1]
+        ts_prev = jnp.concatenate([ts[1:], jnp.asarray([-1])])
+
+        def step(carry, tt):
+            x, k = carry
+            t, t_prev = tt
+            k, sk = jax.random.split(k)
+            tb = jnp.full((bs,), t, dtype=jnp.int32)
+            x_all = jnp.concatenate([x, x_cond], axis=-1)
+            model_out = self.denoiser.apply(params, x_all, tb, padding_mask)
+            x0 = jnp.clip(model_out, -1.0, 1.0)
+
+            ac_t = c.alphas_cumprod[t]
+            ac_prev = jnp.where(t_prev >= 0, c.alphas_cumprod[t_prev], 1.0)
+            eps = (x - jnp.sqrt(ac_t) * x0) / jnp.sqrt(1.0 - ac_t)
+            sigma = (
+                eta
+                * jnp.sqrt((1.0 - ac_prev) / (1.0 - ac_t))
+                * jnp.sqrt(1.0 - ac_t / ac_prev)
+            )
+            dir_xt = jnp.sqrt(jnp.maximum(1.0 - ac_prev - sigma**2, 0.0)) * eps
+            noise = jax.random.normal(sk, x.shape, x.dtype)
+            x = jnp.sqrt(ac_prev) * x0 + dir_xt + sigma * noise
+            return (x, k), None
+
+        (x, _), _ = jax.lax.scan(step, (x, k_loop), (ts, ts_prev))
         return x
 
     # -- canonical sliding-window sampling ---------------------------------

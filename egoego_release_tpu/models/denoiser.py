@@ -42,6 +42,7 @@ class TransformerDiffusionModel(nn.Module):
     d_k: int
     d_v: int
     max_timesteps: int    # window + 1
+    dtype: object = jnp.float32   # transformer computation dtype
 
     @nn.compact
     def __call__(
@@ -76,6 +77,7 @@ class TransformerDiffusionModel(nn.Module):
             d_v=self.d_v,
             max_timesteps=self.max_timesteps,
             use_full_attention=True,
+            dtype=self.dtype,
             name="motion_transformer",
         )(
             src,
@@ -84,5 +86,5 @@ class TransformerDiffusionModel(nn.Module):
             obj_embedding=noise_t_embed,
             deterministic=deterministic,
         )
-        # Drop the noise-token slot, project back to motion dims
-        return nn.Dense(self.d_feats, name="linear_out")(feat[:, 1:])
+        # Drop the noise-token slot, project back to motion dims (f32 output)
+        return nn.Dense(self.d_feats, name="linear_out")(feat[:, 1:].astype(jnp.float32))

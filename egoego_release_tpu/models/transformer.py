@@ -68,6 +68,7 @@ class MultiHeadAttention(nn.Module):
     d_v: int
     dropout_rate: float = 0.1
     attention_impl: str = "auto"
+    dtype: object = jnp.float32   # computation dtype (bf16 for throughput)
 
     @nn.compact
     def __call__(self, q, k, v, mask=None, deterministic: bool = True):
@@ -76,9 +77,9 @@ class MultiHeadAttention(nn.Module):
         n_k = k.shape[1]
         residual = q
 
-        wq = nn.Dense(self.n_head * self.d_k, name="w_q")(q)
-        wk = nn.Dense(self.n_head * self.d_k, name="w_k")(k)
-        wv = nn.Dense(self.n_head * self.d_v, name="w_v")(v)
+        wq = nn.Dense(self.n_head * self.d_k, dtype=self.dtype, name="w_q")(q)
+        wk = nn.Dense(self.n_head * self.d_k, dtype=self.dtype, name="w_k")(k)
+        wv = nn.Dense(self.n_head * self.d_v, dtype=self.dtype, name="w_v")(v)
 
         wq = wq.reshape(bs, n_q, self.n_head, self.d_k)
         wk = wk.reshape(bs, n_k, self.n_head, self.d_k)
@@ -108,15 +109,19 @@ class MultiHeadAttention(nn.Module):
             attn = jnp.einsum("bqhd,bkhd->bhqk", wq, wk) / np.sqrt(self.d_k)
             if mask is not None:
                 attn = jnp.where(mask[:, None, :, :], -jnp.inf, attn)
-            attn = jax.nn.softmax(attn, axis=-1)
+            # softmax in f32 regardless of compute dtype (numerical safety)
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
             attn = nn.Dropout(self.dropout_rate, name="attn_dropout")(
                 attn, deterministic=deterministic
             )
             out = jnp.einsum("bhqk,bkhd->bqhd", attn, wv).reshape(bs, n_q, -1)
 
-        out = nn.Dense(self.d_model, name="fc")(out)
+        out = nn.Dense(self.d_model, dtype=self.dtype, name="fc")(out)
         out = nn.Dropout(self.dropout_rate, name="dropout")(out, deterministic=deterministic)
-        out = nn.LayerNorm(epsilon=1e-5, name="layer_norm")(out + residual)
+        # LayerNorm statistics in f32
+        out = nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="layer_norm")(
+            (out + residual).astype(jnp.float32)
+        ).astype(self.dtype)
         return out, attn
 
 
@@ -127,15 +132,18 @@ class PositionwiseFeedForward(nn.Module):
     d_in: int
     d_hid: int
     dropout_rate: float = 0.1
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         residual = x
-        out = nn.Dense(self.d_hid, name="w_1")(x)
+        out = nn.Dense(self.d_hid, dtype=self.dtype, name="w_1")(x)
         out = nn.relu(out)
-        out = nn.Dense(self.d_in, name="w_2")(out)
+        out = nn.Dense(self.d_in, dtype=self.dtype, name="w_2")(out)
         out = nn.Dropout(self.dropout_rate, name="dropout")(out, deterministic=deterministic)
-        return nn.LayerNorm(epsilon=1e-5, name="layer_norm")(out + residual)
+        return nn.LayerNorm(epsilon=1e-5, dtype=jnp.float32, name="layer_norm")(
+            (out + residual).astype(jnp.float32)
+        ).astype(self.dtype)
 
 
 class DecoderLayer(nn.Module):
@@ -144,6 +152,7 @@ class DecoderLayer(nn.Module):
     d_k: int
     d_v: int
     attention_impl: str = "auto"
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x, time_mask, padding_mask, deterministic: bool = True):
@@ -151,10 +160,11 @@ class DecoderLayer(nn.Module):
         # the block outputs (transformer_module.py:135,139).
         out, attn = MultiHeadAttention(
             self.n_head, self.d_model, self.d_k, self.d_v,
-            attention_impl=self.attention_impl, name="self_attn"
+            attention_impl=self.attention_impl, dtype=self.dtype, name="self_attn"
         )(x, x, x, mask=time_mask, deterministic=deterministic)
         out = out * padding_mask[..., None].astype(out.dtype)
-        out = PositionwiseFeedForward(self.d_model, self.d_model, name="pos_ffn")(
+        out = PositionwiseFeedForward(self.d_model, self.d_model, dtype=self.dtype,
+                                      name="pos_ffn")(
             out, deterministic=deterministic
         )
         out = out * padding_mask[..., None].astype(out.dtype)
@@ -177,6 +187,7 @@ class Decoder(nn.Module):
     max_timesteps: int
     use_full_attention: bool = True
     attention_impl: str = "auto"
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(
@@ -187,7 +198,7 @@ class Decoder(nn.Module):
         obj_embedding: Array | None = None,  # (B, 1, d_model) prepended token
         deterministic: bool = True,
     ):
-        emb = nn.Dense(self.d_model, name="start_conv")(decoder_input)
+        emb = nn.Dense(self.d_model, dtype=self.dtype, name="start_conv")(decoder_input)
         if obj_embedding is not None:
             emb = jnp.concatenate([obj_embedding, emb], axis=1)
 
@@ -204,12 +215,13 @@ class Decoder(nn.Module):
                 jnp.ones((t_total, t_total), dtype=bool), k=1
             )[None].repeat(emb.shape[0], axis=0)
 
-        out = emb + pos_emb
+        out = (emb + pos_emb.astype(emb.dtype))
         attns = []
         for i in range(self.n_layers):
             out, attn = DecoderLayer(
                 self.d_model, self.n_head, self.d_k, self.d_v,
-                attention_impl=self.attention_impl, name=f"layer_{i}"
+                attention_impl=self.attention_impl, dtype=self.dtype,
+                name=f"layer_{i}"
             )(out, time_mask, padding_mask, deterministic=deterministic)
             attns.append(attn)
         return out, attns

@@ -144,3 +144,22 @@ def test_parallel_window_sampler_shapes():
     assert np.isfinite(np.asarray(aa)).all()
     # head continuity at seams: overlapping stitch keeps finite, bounded roots
     assert np.abs(np.asarray(root)).max() < 100
+
+
+def test_ddim_sampler_runs_and_differs_by_steps():
+    diff, params = _small_model()
+    bs, t = 2, SMALL.window
+    x_start = jnp.zeros((bs, t, 198))
+    cond_mask = head_condition_mask(bs, t)
+    out = diff.p_sample_loop_ddim(params, jax.random.PRNGKey(9), x_start, cond_mask,
+                                  num_steps=4)
+    assert out.shape == (bs, t, 198)
+    assert np.isfinite(np.asarray(out)).all()
+    # deterministic at eta=0: same key -> same result
+    out2 = diff.p_sample_loop_ddim(params, jax.random.PRNGKey(9), x_start, cond_mask,
+                                   num_steps=4)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out2))
+    # stochastic at eta=1 differs
+    out3 = diff.p_sample_loop_ddim(params, jax.random.PRNGKey(10), x_start, cond_mask,
+                                   num_steps=4, eta=1.0)
+    assert np.abs(np.asarray(out) - np.asarray(out3)).max() > 1e-6
