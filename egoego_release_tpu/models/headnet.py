@@ -64,6 +64,30 @@ class HeadFormer(nn.Module):
         return va, dist
 
 
+class HeadFormerWithCNN(nn.Module):
+    """Raw-flow variant: ResNet-18 encodes per-frame flow images inline
+    (the reference's `input_of_feats=False` path,
+    head_estimation_transformer.py:66-72,132-144).  Flow frames (B, T, 224,
+    224, 2) are zero-padded to 3 channels and encoded to 512-d features, then
+    fed to the standard HeadFormer.  `freeze_cnn` mirrors opt.freeze_of_cnn
+    (gradients stopped through the encoder)."""
+
+    headformer: HeadFormer
+    freeze_cnn: bool = True
+
+    @nn.compact
+    def __call__(self, flow: Array, padding_mask: Array, deterministic: bool = True):
+        from egoego_release_tpu.models.resnet import ResNet18, flow_to_input
+
+        b, t = flow.shape[:2]
+        x = flow_to_input(flow.reshape((b * t,) + flow.shape[2:]))
+        feats = ResNet18(out_dim=self.headformer.cnn_fdim, name="cnn")(x)
+        feats = feats.reshape(b, t, -1)
+        if self.freeze_cnn:
+            feats = jax.lax.stop_gradient(feats)
+        return self.headformer(feats, padding_mask, deterministic=deterministic)
+
+
 def va2rot(init_quat: Array, head_vels: Array, dt: float = 1.0 / 30.0) -> Array:
     """Integrate angular velocity to a rotation sequence
     (head_estimation_transformer.py:97-119).
