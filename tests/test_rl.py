@@ -109,3 +109,47 @@ def test_ppo_improves_reward():
     assert np.isfinite(rewards).all()
     # learning signal: later iterations beat the first ones on average
     assert np.mean(rewards[-3:]) > np.mean(rewards[:3])
+
+
+def test_trpo_update_respects_kl_and_improves():
+    from egoego_release_tpu.rl.trpo import TRPOAgent, TRPOConfig
+
+    rng = np.random.RandomState(1)
+    rest = rng.randn(22, 3).astype(np.float32) * 0.05
+    rest[0] = 0
+    env = KinematicHumanoidEnv(rest, head_fail_dist=1000.0, k_head=1.0, k_pose=1.0)
+    expert = make_expert(t=20)
+    hpos, hrot = env._head_pose(expert["qpos"].reshape(-1, 76))
+    expert = dict(expert, head_pose=jnp.concatenate([hpos, hrot], -1).reshape(20, 4, 7))
+
+    agent = TRPOAgent(env, TRPOConfig(horizon=12, cg_iters=5, value_epochs=2,
+                                      max_kl=1e-2), hsize=(32,))
+    state = agent.init_state(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    rewards, kls = [], []
+    for _ in range(8):
+        key, sk = jax.random.split(key)
+        env_state = env.reset(expert["qpos"][0])
+        state, _, m = agent.iterate(state, sk, env_state, expert)
+        rewards.append(float(m["reward_mean"]))
+        kls.append(float(m["kl"]))
+    assert np.isfinite(rewards).all()
+    # trust region: accepted steps keep KL below the bound
+    assert max(kls) <= 1e-2 + 1e-4
+    assert np.mean(rewards[-2:]) >= np.mean(rewards[:2]) - 1e-3
+
+
+def test_zfilter_matches_batch_stats():
+    from egoego_release_tpu.rl.trpo import ZFilter
+
+    rng = np.random.RandomState(3)
+    state = ZFilter.init(5)
+    chunks = [rng.randn(20, 5).astype(np.float32) * 3 + 1 for _ in range(4)]
+    for c in chunks:
+        state = ZFilter.update(state, jnp.asarray(c))
+    allx = np.concatenate(chunks)
+    np.testing.assert_allclose(np.asarray(state["mean"]), allx.mean(0), atol=1e-4)
+    std = np.sqrt(np.asarray(state["m2"]) / allx.shape[0])
+    np.testing.assert_allclose(std, allx.std(0), atol=1e-2)
+    normed = np.asarray(ZFilter.apply(state, jnp.asarray(allx)))
+    assert abs(normed.mean()) < 0.05 and abs(normed.std() - 1.0) < 0.1

@@ -69,3 +69,29 @@ def test_trajar_rollout_and_loss():
     g = jax.grad(loss_fn)(params)
     gnorm = sum(float(jnp.abs(x).sum()) for x in jax.tree.leaves(g))
     assert np.isfinite(gnorm) and gnorm > 0
+
+
+def test_trajar_training_cli_overfits(tmp_path):
+    import joblib
+    from egoego_release_tpu.training.train_trajar import run
+
+    rng = np.random.RandomState(7)
+    t = 12
+    rec = {
+        "qpos": np.tile(np.concatenate([[0, 0, 0.9], [1, 0, 0, 0], np.zeros(69)])[None],
+                        (t, 1)).astype(np.float32),
+        "qvel": np.zeros((t - 1, 75), np.float32),
+        "head_pose": np.tile([0, 0, 1.6, 1, 0, 0, 0], (t, 1)).astype(np.float32),
+        "head_vels": np.zeros((t, 6), np.float32),
+        "obj_pose": np.tile([0, 0, 0, 1, 0, 0, 0], (t, 1)).astype(np.float32),
+        "obj_head_relative_poses": np.zeros((t, 7), np.float32),
+        "seq_name": "a",
+    }
+    path = str(tmp_path / "experts.p")
+    joblib.dump({"a": rec}, path)
+    _, rest = rest_tuple()
+
+    params = run(path, rest, epochs=3, fr_num=t, batch_size=2, lr=1e-3,
+                 rnn_hdim=16, mlp_hsize=(16,), save_dir=str(tmp_path / "out"))
+    import os
+    assert os.path.exists(tmp_path / "out" / "final")
