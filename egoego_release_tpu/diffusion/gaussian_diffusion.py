@@ -63,6 +63,8 @@ class DiffusionConfig:
     p2_loss_weight_k: float = 1.0
     overlap_frames: int = 10       # sliding-window overlap (:351)
     compute_dtype: str = "float32"  # "bfloat16" = faster sampling (small drift)
+    sampler: str = "ddpm"          # "ddim" = fast strided sampler (deviation)
+    ddim_steps: int = 50
 
 
 class NormStats(NamedTuple):
@@ -379,7 +381,13 @@ class CondGaussianDiffusion:
         x_start, recover = self._canonicalize_window(head_jpos, head_jquat, stats)
         cond_mask = head_condition_mask(bs, t)
 
-        if use_inpaint:
+        if self.cfg.sampler == "ddim" and not use_inpaint:
+            # fast mode (deviation): DDIM has no per-step inpainting hook, so
+            # it applies to chain-free windows (first window / parallel mode)
+            x = self.p_sample_loop_ddim(
+                params, key, x_start, cond_mask, num_steps=self.cfg.ddim_steps
+            )
+        elif use_inpaint:
             ov = self.cfg.overlap_frames
             mask = jnp.zeros((bs, t, 1), jnp.float32).at[:, :ov].set(1.0)
             value = jnp.zeros((bs, t, D_FEATS), jnp.float32).at[:, :ov].set(inpaint_value)

@@ -55,11 +55,15 @@ def build_pipeline(
     d_k: int = 256,
     d_v: int = 256,
     seed: int = 0,
+    sampler: str = "ddpm",
+    ddim_steps: int = 50,
 ) -> EgoEgoPipeline:
     stats = load_norm_stats(stats_path)
     rest_offsets = load_rest_offsets(smplh_path, rest_offsets_path)
 
-    diffusion = CondGaussianDiffusion(DiffusionConfig(window=window))
+    diffusion = CondGaussianDiffusion(
+        DiffusionConfig(window=window, sampler=sampler, ddim_steps=ddim_steps)
+    )
     if diffusion_ckpt and os.path.isdir(diffusion_ckpt):
         # orbax checkpoint produced by training.trainer_diffusion (EMA weights)
         from egoego_release_tpu.training.trainer_diffusion import load_checkpoint

@@ -34,6 +34,8 @@ def run(opt) -> dict:
         rest_offsets_path=opt.rest_offsets,
         diffusion_ckpt=opt.checkpoint,
         window=opt.window,
+        sampler="ddim" if opt.ddim_steps else "ddpm",
+        ddim_steps=opt.ddim_steps or 50,
     )
     data = load_motion_dict(opt.test_data_path)
 
@@ -128,6 +130,8 @@ def parse_opt(argv=None):
     p.add_argument("--sample_bs", type=int, default=1)
     p.add_argument("--batch_seqs", type=int, default=16,
                    help="sequences per diffusion batch (TPU-native batched eval)")
+    p.add_argument("--ddim_steps", type=int, default=0,
+                   help="use the fast DDIM sampler with N steps (0 = parity DDPM-1000)")
     p.add_argument("--max_seqs", type=int, default=0)
     p.add_argument("--filter_subsets", action="store_true", default=True)
     p.add_argument("--no_filter_subsets", dest="filter_subsets", action="store_false")
