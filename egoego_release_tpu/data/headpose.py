@@ -167,9 +167,12 @@ def ARESHeadPoseDataset(data_root_folder: str, train: bool, window: int = 120,
 
 
 def GIMOHeadPoseDataset(data_root_folder: str, train: bool, window: int = 120,
-                        for_eval: bool = False) -> HeadPoseSequenceDataset:
+                        for_eval: bool = False,
+                        split_json: str | None = None) -> HeadPoseSequenceDataset:
+    """GIMO variant (gimo_headpose_dataset.py:24,119-198): optional
+    train/val split json {seq_name: "train"|"test"} filters the records."""
     split = "train" if train else "test"
-    return HeadPoseSequenceDataset(
+    ds = HeadPoseSequenceDataset(
         motion_path=os.path.join(
             data_root_folder, "gimo_egoego_processed", f"{split}_gimo_motion.p"
         ),
@@ -179,6 +182,24 @@ def GIMOHeadPoseDataset(data_root_folder: str, train: bool, window: int = 120,
         for_eval=for_eval,
         min_len=window,
     )
+    split_json = split_json or os.path.join(
+        data_root_folder, "gimo_egoego_processed", "train_test_split.json"
+    )
+    if os.path.exists(split_json):
+        import json
+
+        with open(split_json) as f:
+            split_map = json.load(f)
+        wanted = "train" if train else "test"
+        kept = {
+            i: rec
+            for i, rec in enumerate(
+                r for r in ds.data.values()
+                if split_map.get(r["seq_name"], wanted) == wanted
+            )
+        }
+        ds.data = kept
+    return ds
 
 
 def RealWorldHeadPoseDataset(data_root_folder: str, train: bool, window: int = 120,
