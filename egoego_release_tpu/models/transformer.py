@@ -17,8 +17,8 @@ released torch checkpoints convert losslessly:
     embedding), sliced off by the caller
 
 Attention itself is a single fused einsum chain that XLA maps onto the MXU;
-for larger workloads `egoego_release_tpu.ops.attention` provides a Pallas
-fused kernel with identical math (toggle via `use_pallas_attention`).
+for long sequences `egoego_release_tpu.ops.attention` provides a Pallas
+fused kernel with identical math (select via the `attention_impl` attribute).
 """
 
 from __future__ import annotations

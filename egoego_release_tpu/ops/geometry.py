@@ -163,7 +163,6 @@ def _dbscan_1d(x: np.ndarray, eps: float = 0.005, min_samples: int = 3) -> np.nd
         # core points: >= min_samples points within eps
         counts = np.asarray([(np.abs(xs - xi) <= eps).sum() for xi in xs])
         core = counts >= min_samples
-        lbl = -1
         prev_core_x = None
         cur = -1
         for i in range(len(xs)):
@@ -181,7 +180,6 @@ def _dbscan_1d(x: np.ndarray, eps: float = 0.005, min_samples: int = 3) -> np.nd
             cand = np.where(core & (d <= eps))[0]
             if cand.size:
                 labels[order[i]] = labels[order[cand[np.argmin(d[cand])]]]
-        del lbl
         return labels
 
 
@@ -193,8 +191,6 @@ def determine_floor_height_and_contacts(body_joint_seq: np.ndarray, fps: int = 3
     body_joint_seq: (T, >=22, 3) numpy.  Returns (offset_floor_height,
     contacts (T, 22), discard_seq).
     """
-    from egoego_release_tpu.ops.fk import SMPL_PARENTS  # noqa: F401  (doc anchor)
-
     J = {"hips": 0, "leftLeg": 4, "rightLeg": 5, "leftFoot": 7, "rightFoot": 8,
          "leftToeBase": 10, "rightToeBase": 11, "leftHand": 20, "rightHand": 21}
     num_frames = body_joint_seq.shape[0]
