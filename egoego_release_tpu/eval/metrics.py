@@ -154,4 +154,35 @@ def compute_head_pose_metrics(
     return head_dist, head_rot_dist, head_trans_err
 
 
+def compute_metrics_for_qpos(
+    gt_qpos: Array,       # (T, 76) kinpoly expert qpos
+    pred_qpos: Array,     # (T, 76)
+    rest_offsets: Array,  # (22, 3)
+    gt_floor_height: Array | float = 0.0,
+    pred_floor_height: Array | float = 0.0,
+) -> dict[str, Array]:
+    """Metric suite over kinpoly qpos records.
+
+    The reference's qpos metric path (`compute_metrics`,
+    kinpoly/scripts/eval_metrics_imu_rec.py:123-221) FKs qpos through a
+    MuJoCo env built at module import; here the records go through the
+    closed-form qpos codec + JAX FK and the same tensor metric suite — no
+    simulator.
+    """
+    from egoego_release_tpu.ops import geometry
+
+    def fk(qpos):
+        trans, aa24 = geometry.qpos_to_smpl(qpos)
+        from egoego_release_tpu.ops import fk as fk_mod
+
+        return fk_mod.fk_smpl(trans, aa24[:, :22], rest_offsets)
+
+    gt_q, gt_p = fk(gt_qpos)
+    pr_q, pr_p = fk(pred_qpos)
+    return compute_metrics_for_smpl(
+        gt_q, gt_p, jnp.float32(gt_floor_height),
+        pr_q, pr_p, jnp.float32(pred_floor_height),
+    )
+
+
 batched_metrics_for_smpl = jax.vmap(compute_metrics_for_smpl)

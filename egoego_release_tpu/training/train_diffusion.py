@@ -102,14 +102,61 @@ def run(cfg, train_data_path: str):
     return state
 
 
+def run_sample(cfg, ckpt_path: str | None = None, num_samples: int = 4):
+    """Sampling mode: load the latest checkpoint and generate conditioned
+    samples (the reference Trainer's cond_sample_res path,
+    trainer_amass_cond_motion_diffusion.py:232-260, which picks the latest
+    ckpt by ctime and samples with the EMA weights)."""
+    import glob
+
+    import numpy as np
+
+    from egoego_release_tpu.diffusion.gaussian_diffusion import head_condition_mask
+    from egoego_release_tpu.training.trainer_diffusion import load_checkpoint
+
+    save_dir = os.path.join(cfg.logging.save_dir, cfg.logging.exp_name)
+    if ckpt_path is None:
+        cands = glob.glob(os.path.join(save_dir, "weights", "model-*"))
+        if not cands:
+            raise FileNotFoundError(f"no checkpoints under {save_dir}/weights")
+        ckpt_path = max(cands, key=os.path.getctime)
+    print("sampling from:", ckpt_path)
+    ckpt = load_checkpoint(ckpt_path)
+
+    s2 = cfg.stage2
+    diffusion = CondGaussianDiffusion(DiffusionConfig(
+        d_model=s2.d_model, n_dec_layers=s2.n_dec_layers, n_head=s2.n_head,
+        d_k=s2.d_k, d_v=s2.d_v, window=s2.window, timesteps=s2.timesteps,
+    ))
+    import jax.numpy as jnp
+
+    params = jax.tree.map(jnp.asarray, ckpt.get("ema", ckpt.get("model")))
+    x_start = jnp.zeros((num_samples, s2.window, diffusion.cfg.d_feats))
+    cond_mask = head_condition_mask(num_samples, s2.window)
+    out = diffusion.p_sample_loop(params, jax.random.PRNGKey(cfg.train.seed),
+                                  x_start, cond_mask)
+    out_path = os.path.join(save_dir, "samples.npz")
+    np.savez(out_path, samples=np.asarray(out), step=int(ckpt["step"]))
+    print(f"saved {num_samples} samples -> {out_path}")
+    return out
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--config", default=None)
-    p.add_argument("--train_data_path", required=True)
+    p.add_argument("--train_data_path", default=None)
+    p.add_argument("--sample", action="store_true",
+                   help="sampling mode: load the latest checkpoint and generate")
+    p.add_argument("--ckpt", default=None)
     p.add_argument("--set", nargs="*", default=[], help="dotted overrides a.b=c")
     args = p.parse_args(argv)
     cfg = load_config(args.config, overrides=args.set)
-    run(cfg, args.train_data_path)
+    if args.sample:
+        run_sample(cfg, args.ckpt)
+    else:
+        if not args.train_data_path:
+            p.error("--train_data_path is required for training mode")
+        run(cfg, args.train_data_path)
 
 
 if __name__ == "__main__":

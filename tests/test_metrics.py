@@ -128,3 +128,21 @@ def test_batched_metrics_vmap():
     )
     assert res["mpjpe"].shape == (b,)
     assert np.allclose(np.asarray(res["mpjpe"]), float(res["mpjpe"][0]))
+
+
+def test_qpos_metrics_identity():
+    """Identical qpos records score ~0 on pose errors (compute_metrics_for_qpos
+    replaces the reference's MuJoCo-backed qpos metric path)."""
+    rng = np.random.RandomState(8)
+    t = 15
+    qpos = np.zeros((t, 76), np.float32)
+    qpos[:, :3] = np.cumsum(rng.randn(t, 3) * 0.02, 0)
+    q = rng.randn(t, 4); q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    qpos[:, 3:7] = q
+    qpos[:, 7:] = rng.randn(t, 69) * 0.3
+    rest = jnp.asarray(rng.randn(22, 3).astype(np.float32) * 0.1)
+
+    res = M.compute_metrics_for_qpos(jnp.asarray(qpos), jnp.asarray(qpos), rest)
+    assert float(res["mpjpe"]) < 1e-3
+    assert float(res["root_dist"]) < 1e-3
+    assert float(res["accel_err"]) < 1e-3
