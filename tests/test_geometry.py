@@ -96,3 +96,42 @@ def test_obj_relative_pose_identity_ref():
     out = np.asarray(G.get_obj_relative_pose(jnp.asarray(obj), jnp.asarray(ref)))
     np.testing.assert_allclose(out[:, :3], obj[:, :3], atol=1e-5)
     np.testing.assert_allclose(out[:, 3:], obj[:, 3:], atol=1e-5)
+
+
+def test_qpos_codec_near_gimbal_lock():
+    """ZYX euler extraction degenerates at pitch = ±pi/2; the codec must stay
+    finite and the roundtrip rotation error bounded near the singularity."""
+    rng = np.random.RandomState(9)
+    t = 8
+    aa = np.zeros((t, 24, 3), np.float32)
+    # drive joint 1 (mujoco order) toward pitch ±pi/2
+    for i, eps in enumerate([1e-3, 1e-4, 1e-5, 1e-6, -1e-3, -1e-4, -1e-5, -1e-6]):
+        pitch = np.pi / 2 - eps
+        r = sR.from_euler("ZYX", [0.3, pitch, -0.2])
+        aa[i, G.MUJOCO2SMPL_JOINT_IDX[1]] = r.as_rotvec()
+    trans = rng.randn(t, 3).astype(np.float32)
+    qpos = G.smpl_to_qpos(jnp.asarray(trans), jnp.asarray(aa))
+    assert np.isfinite(np.asarray(qpos)).all()
+    tr2, aa2 = G.qpos_to_smpl(qpos)
+    assert np.isfinite(np.asarray(aa2)).all()
+    err = (sR.from_rotvec(np.asarray(aa2).reshape(-1, 3)).inv()
+           * sR.from_rotvec(aa.reshape(-1, 3))).magnitude()
+    # f32 arcsin loses ~sqrt(eps) precision at |sin|->1: ~1 degree at 1e-6
+    # from the singularity; must stay bounded (no blow-up), and be tight away
+    # from it
+    assert err.max() < 0.05
+    err_away = err.reshape(t, -1)[[0, 4]]  # the 1e-3-away cases
+    assert err_away.max() < 1e-3
+
+
+def test_head_vel_near_identity_rotation():
+    """Tiny frame-to-frame rotations (the common case) must not blow up the
+    angular-velocity finite difference."""
+    t = 10
+    pose = np.zeros((t, 7), np.float32)
+    pose[:, 3] = 1.0
+    pose[:, 4] = np.linspace(0, 1e-6, t)  # microscopic rotation drift
+    pose[:, 3:] /= np.linalg.norm(pose[:, 3:], axis=-1, keepdims=True)
+    out = np.asarray(G.get_head_vel(jnp.asarray(pose)))
+    assert np.isfinite(out).all()
+    assert np.abs(out[:, 3:]).max() < 1e-3
