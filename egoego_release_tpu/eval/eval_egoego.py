@@ -111,7 +111,18 @@ def run(opt) -> dict:
             jnp.asarray(gt_rec["qpos"].astype(np.float32))
         )
         gt_aa = gt_aa24[:, :22]
-        gt_jrot, gt_jpos = fk_mod.fk_smpl(gt_trans, gt_aa, pipeline.rest_offsets)
+        if opt.mujoco_xml:
+            # exact kinpoly skeleton constants from the bundled humanoid XML
+            from egoego_release_tpu.ops.mujoco_xml import load_mujoco_skeleton, qpos_fk
+
+            sk = load_mujoco_skeleton(opt.mujoco_xml)
+            mj_quat, mj_pos = qpos_fk(sk, jnp.asarray(gt_rec["qpos"].astype(np.float32)))
+            # reorder mujoco bodies into SMPL joint order for the metric suite
+            order = [int(np.argsort(geometry.MUJOCO2SMPL_JOINT_IDX)[j]) for j in range(22)]
+            gt_jrot = mj_quat[:, order]
+            gt_jpos = mj_pos[:, order]
+        else:
+            gt_jrot, gt_jpos = fk_mod.fk_smpl(gt_trans, gt_aa, pipeline.rest_offsets)
         floor, _, _ = geometry.determine_floor_height_and_contacts(np.asarray(gt_jpos), 30)
         gt_jpos = gt_jpos.at[:, :, 2].add(-floor)
 
@@ -170,6 +181,8 @@ def parse_opt(argv=None):
     p.add_argument("--test_on_ares", action="store_true")
     p.add_argument("--test_on_gimo", action="store_true")
     p.add_argument("--use_gt_head_pose", action="store_true")
+    p.add_argument("--mujoco_xml", default=None,
+                   help="humanoid XML for exact kinpoly-skeleton GT decoding")
     p.add_argument("--out_dir", default="./results")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
