@@ -81,7 +81,10 @@ def build_pipeline(
         d_k=d_k, d_v=d_v, window=headnet_window,
     )
     if headnet_ckpt and os.path.exists(headnet_ckpt):
-        headnet_params = torch_ckpt.load_stage1_ckpt(headnet_ckpt, "headnet", headnet_layers)
+        headnet_params = torch_ckpt.load_stage1_ckpt(
+            headnet_ckpt, "headnet", headnet_layers,
+            d_model=headnet_d_model, n_head=n_head, d_k=d_k, d_v=d_v,
+        )
     else:
         print("WARNING: no HeadNet checkpoint; using random init")
         headnet_params = headnet.init(
@@ -95,7 +98,8 @@ def build_pipeline(
     )
     if gravitynet_ckpt and os.path.exists(gravitynet_ckpt):
         gravitynet_params = torch_ckpt.load_stage1_ckpt(
-            gravitynet_ckpt, "gravitynet", gravitynet_layers
+            gravitynet_ckpt, "gravitynet", gravitynet_layers,
+            d_model=gravitynet_d_model, n_head=n_head, d_k=d_k, d_v=d_v,
         )
     else:
         print("WARNING: no GravityNet checkpoint; using random init")

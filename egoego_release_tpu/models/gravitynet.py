@@ -38,11 +38,12 @@ class HeadNormalFormer(nn.Module):
     """Transformer over SLAM-trajectory features; floor normal read from the
     first token (head_normal_estimation_transformer.py:63-167)."""
 
+    # defaults = the released run config (eval_egoego.py:662-663): d_k=d_v=256
     d_model: int = 256
     n_layers: int = 2
     n_head: int = 4
-    d_k: int = 64
-    d_v: int = 64
+    d_k: int = 256
+    d_v: int = 256
     window: int = 120
     mlp_hsize: tuple[int, ...] = (512, 256)
 
@@ -158,5 +159,6 @@ def gravitynet_eval_upper_bound(
 
 
 def gravitynet_loss(pred_normal: Array, gt_normal: Array) -> Array:
-    """L1 normal loss (head_normal_estimation_transformer.py:334-342)."""
-    return jnp.sum(jnp.abs(gt_normal - pred_normal), axis=-1).mean()
+    """Squared-error normal loss: position_loss = sum((gt - pred)^2, dim=1)
+    then mean (head_normal_estimation_transformer.py:36-38,334-342)."""
+    return jnp.sum((gt_normal - pred_normal) ** 2, axis=-1).mean()

@@ -30,11 +30,14 @@ class HeadFormer(nn.Module):
     """Transformer over per-frame OF features with two MLP heads
     (head_estimation_transformer.py:50-95)."""
 
+    # defaults = the released run config (trainer_head_estimation.py:259-260,
+    # eval_egoego.py:644-645): d_k=d_v=256, so a default-config model loads
+    # the released checkpoints without shape surgery
     d_model: int = 256
     n_layers: int = 2
     n_head: int = 4
-    d_k: int = 64
-    d_v: int = 64
+    d_k: int = 256
+    d_v: int = 256
     window: int = 60
     cnn_fdim: int = 512
     mlp_hsize: tuple[int, ...] = (1024, 512, 256)
@@ -97,7 +100,11 @@ def va2rot(init_quat: Array, head_vels: Array, dt: float = 1.0 / 30.0) -> Array:
 
     def step(curr_rot, vel):
         angv = rot.quat_apply(curr_rot, vel)
-        new_rot = rot.quat_multiply(rot.axis_angle_to_quat(angv * dt), curr_rot)
+        # pytorch3d's quaternion_multiply standardizes to w >= 0; the sign
+        # feeds back through the integration, so match it exactly.
+        new_rot = rot.standardize_quat(
+            rot.quat_multiply(rot.axis_angle_to_quat(angv * dt), curr_rot)
+        )
         new_rot = new_rot / jnp.linalg.norm(new_rot, axis=-1, keepdims=True)
         return new_rot, new_rot
 

@@ -31,11 +31,13 @@ class DataConfig:
 
 @dataclass(frozen=True)
 class Stage1ModelConfig:
+    # release dims: trainer_head_estimation.py:259-260 and
+    # eval_egoego.py:644-645,662-663 all use d_k=d_v=256
     d_model: int = 256
     n_dec_layers: int = 2
     n_head: int = 4
-    d_k: int = 64
-    d_v: int = 64
+    d_k: int = 256
+    d_v: int = 256
     window: int = 60
     dist_scale: float = 10.0
     w_rotation: float = 1.0

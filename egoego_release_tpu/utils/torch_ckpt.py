@@ -149,10 +149,36 @@ def load_stage2_diffusion_ckpt(path: str, n_layers: int = 4, use_ema: bool = Tru
     return convert_denoiser(sd, n_layers), ckpt.get("step", 0)
 
 
-def load_stage1_ckpt(path: str, kind: str, n_layers: int = 2):
-    """stage1_headnet_*.pt / stage1_gravitynet_*.pt -> flax params."""
+def validate_stage1_shapes(sd: dict, d_model: int, n_head: int, d_k: int,
+                           d_v: int) -> None:
+    """Assert a stage-1 state_dict matches the target module dims before
+    conversion — catches the train/eval config divergence where a model was
+    built with non-release d_k/d_v (release = 256; trainer_head_estimation.py
+    :259-260) and would otherwise fail deep inside apply() with an opaque
+    shape error."""
+    wq = np.asarray(sd["action_transformer.layer_stack.0.self_attn.w_q.weight"])
+    wv = np.asarray(sd["action_transformer.layer_stack.0.self_attn.w_v.weight"])
+    expect_q = (n_head * d_k, d_model)
+    expect_v = (n_head * d_v, d_model)
+    if wq.shape != expect_q or wv.shape != expect_v:
+        raise ValueError(
+            f"stage-1 checkpoint dims mismatch: w_q {wq.shape} vs expected "
+            f"{expect_q}, w_v {wv.shape} vs expected {expect_v} "
+            f"(d_model={d_model}, n_head={n_head}, d_k={d_k}, d_v={d_v}); "
+            "the release config uses d_k=d_v=256"
+        )
+
+
+def load_stage1_ckpt(path: str, kind: str, n_layers: int = 2, *,
+                     d_model: int = 256, n_head: int = 4, d_k: int = 256,
+                     d_v: int = 256):
+    """stage1_headnet_*.pt / stage1_gravitynet_*.pt -> flax params.
+
+    Validates the checkpoint layout against the target module dims (release
+    defaults) before converting."""
     ckpt = load_torch_state_dict(path)
     sd = ckpt.get("transformer_encoder_state_dict", ckpt)
+    validate_stage1_shapes(sd, d_model, n_head, d_k, d_v)
     if kind == "headnet":
         return convert_headformer(sd, n_layers)
     if kind == "gravitynet":

@@ -1,7 +1,12 @@
 """Checkpoint-conversion parity: a synthetic torch state_dict (reference key
 layout) is converted to flax and compared against an independent functional
 torch forward implementing the reference semantics (post-LN, 1-based pos
-table, prepended noise token, eval-mode dropout)."""
+table, prepended noise token, eval-mode dropout).
+
+The REAL reference modules (imported from /root/reference via tests/refstubs)
+are used as oracles in tests/test_reference_oracle.py; this file keeps the
+independent hand-written oracle as a second, reference-free check plus the
+converter plumbing tests."""
 
 import math
 
@@ -191,3 +196,24 @@ def test_headformer_ckpt_roundtrip_structure():
     )
     assert va.shape == (1, WINDOW, 3) and dist.shape == (1, WINDOW, 1)
     assert np.isfinite(np.asarray(va)).all()
+
+
+def test_stage1_shape_validation_rejects_wrong_dims():
+    """A checkpoint trained at non-release dims (e.g. d_k=64) must be
+    rejected with a clear error instead of failing inside apply()."""
+    import pytest
+
+    from egoego_release_tpu.utils.torch_ckpt import validate_stage1_shapes
+
+    sd_ok = {
+        "action_transformer.layer_stack.0.self_attn.w_q.weight": np.zeros((4 * 256, 256)),
+        "action_transformer.layer_stack.0.self_attn.w_v.weight": np.zeros((4 * 256, 256)),
+    }
+    validate_stage1_shapes(sd_ok, d_model=256, n_head=4, d_k=256, d_v=256)
+
+    sd_bad = {
+        "action_transformer.layer_stack.0.self_attn.w_q.weight": np.zeros((4 * 64, 256)),
+        "action_transformer.layer_stack.0.self_attn.w_v.weight": np.zeros((4 * 64, 256)),
+    }
+    with pytest.raises(ValueError, match="d_k=d_v=256"):
+        validate_stage1_shapes(sd_bad, d_model=256, n_head=4, d_k=256, d_v=256)
