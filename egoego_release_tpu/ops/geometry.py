@@ -28,6 +28,10 @@ Array = jax.Array
 # thresholds from process_kinpoly_qpos2smpl.py:42-52 / process_amass_dataset.py
 FLOOR_VEL_THRESH = 0.005
 FLOOR_HEIGHT_OFFSET = 0.01
+# terrain-discard heuristic (process_amass_dataset.py:58-61)
+TERRAIN_HEIGHT_THRESH = 0.04
+ROOT_HEIGHT_THRESH = 0.04
+CLUSTER_SIZE_THRESH = 0.25
 CONTACT_VEL_THRESH = 0.005
 CONTACT_TOE_HEIGHT_THRESH = 0.04
 CONTACT_ANKLE_HEIGHT_THRESH = 0.08
@@ -183,13 +187,19 @@ def _dbscan_1d(x: np.ndarray, eps: float = 0.005, min_samples: int = 3) -> np.nd
         return labels
 
 
-def determine_floor_height_and_contacts(body_joint_seq: np.ndarray, fps: int = 30):
-    """Floor height + per-joint contacts
-    (process_amass_dataset.py:160-338, minus the terrain-discard branch which
-    only matters for dataset creation — exposed via `discard` anyway).
+def determine_floor_height_and_contacts(
+    body_joint_seq: np.ndarray, fps: int = 30,
+    discard_terrain_sequences: bool = True,
+):
+    """Floor height + per-joint contacts + terrain-sequence discard
+    (process_amass_dataset.py:160-338; constants :52-61).
 
     body_joint_seq: (T, >=22, 3) numpy.  Returns (offset_floor_height,
-    contacts (T, 22), discard_seq).
+    contacts (T, 22), discard_seq).  discard_seq is True when some static-
+    foot-height cluster sits above the floor cluster by TERRAIN_HEIGHT_THRESH
+    with the root raised by ROOT_HEIGHT_THRESH and enough support frames
+    (> CLUSTER_SIZE_THRESH * fps) — the "person steps onto objects" heuristic
+    (:267-277); `discard_terrain_sequences` mirrors DISCARD_TERRAIN_SEQUENCES.
     """
     J = {"hips": 0, "leftLeg": 4, "rightLeg": 5, "leftFoot": 7, "rightFoot": 8,
          "leftToeBase": 10, "rightToeBase": 11, "leftHand": 20, "rightHand": 21}
@@ -202,19 +212,44 @@ def determine_floor_height_and_contacts(body_joint_seq: np.ndarray, fps: int = 3
     left_toe = body_joint_seq[:, J["leftToeBase"]]
     right_toe = body_joint_seq[:, J["rightToeBase"]]
     left_toe_vel, right_toe_vel = vel(left_toe), vel(right_toe)
+    root_heights = body_joint_seq[:, J["hips"], 2]
 
+    all_inds = np.arange(num_frames)
+    left_static = left_toe_vel < FLOOR_VEL_THRESH
+    right_static = right_toe_vel < FLOOR_VEL_THRESH
     static_heights = np.concatenate(
-        [left_toe[:, 2][left_toe_vel < FLOOR_VEL_THRESH],
-         right_toe[:, 2][right_toe_vel < FLOOR_VEL_THRESH]]
+        [left_toe[:, 2][left_static], right_toe[:, 2][right_static]]
     )
+    static_inds = np.concatenate([all_inds[left_static], all_inds[right_static]])
 
     discard_seq = False
     if static_heights.shape[0] > 0:
         labels = _dbscan_1d(static_heights, eps=0.005, min_samples=3)
-        floor_height = min(
-            float(np.median(static_heights[labels == l])) for l in np.unique(labels)
-        )
+        # per-cluster (toe median, root median, size); the noise label (-1)
+        # participates like any other cluster, as in the reference (:235)
+        clusters = []
+        min_median = min_root_median = float("inf")
+        for label in np.unique(labels):
+            in_cluster = labels == label
+            toe_median = float(np.median(static_heights[in_cluster]))
+            cluster_frame_inds = np.unique(static_inds[in_cluster])
+            root_median = float(np.median(root_heights[cluster_frame_inds]))
+            clusters.append((toe_median, root_median, int(in_cluster.sum())))
+            if toe_median < min_median:
+                min_median = toe_median
+                min_root_median = root_median
+        floor_height = min_median
         offset_floor_height = floor_height - FLOOR_HEIGHT_OFFSET
+
+        if discard_terrain_sequences:
+            for toe_median, root_median, size in clusters:
+                if (
+                    root_median > min_root_median + ROOT_HEIGHT_THRESH
+                    and toe_median > min_median + TERRAIN_HEIGHT_THRESH
+                    and size > int(CLUSTER_SIZE_THRESH * fps)
+                ):
+                    discard_seq = True
+                    break
     else:
         floor_height = offset_floor_height = 0.0
 

@@ -135,3 +135,60 @@ def test_head_vel_near_identity_rotation():
     out = np.asarray(G.get_head_vel(jnp.asarray(pose)))
     assert np.isfinite(out).all()
     assert np.abs(out[:, 3:]).max() < 1e-3
+
+
+# ---------------------------------------------------------------------------
+# floor height / contacts / terrain discard vs the reference's OWN function
+# (process_amass_dataset.py:160-338, imported via tests/refstubs)
+# ---------------------------------------------------------------------------
+
+def _synthetic_body_seq(kind: str, t: int = 90, seed: int = 0) -> np.ndarray:
+    """(T, 22, 3) sequences: 'flat' = standing/walking on z=0;
+    'stairs' = second half standing on a 0.3 m step (root raised too);
+    'crouch' = toes briefly high but root stays low (must NOT discard)."""
+    rng = np.random.RandomState(seed)
+    seq = rng.uniform(-0.002, 0.002, (t, 22, 3))  # small static jitter
+    seq[:, :, 2] += 0.5   # generic joints mid-height
+    J_ROOT, J_LTOE, J_RTOE = 0, 10, 11
+    seq[:, J_ROOT, 2] = 0.9 + rng.uniform(-0.001, 0.001, t)
+    seq[:, J_LTOE, 2] = 0.01 + rng.uniform(-0.001, 0.001, t)
+    seq[:, J_RTOE, 2] = 0.012 + rng.uniform(-0.001, 0.001, t)
+    if kind == "stairs":
+        half = t // 2
+        seq[half:, J_LTOE, 2] += 0.30
+        seq[half:, J_RTOE, 2] += 0.30
+        seq[half:, J_ROOT, 2] += 0.30
+    elif kind == "crouch":
+        # toes high for a long stretch but the root DROPS (sitting on heels)
+        half = t // 2
+        seq[half:, J_LTOE, 2] += 0.30
+        seq[half:, J_RTOE, 2] += 0.30
+        seq[half:, J_ROOT, 2] -= 0.40
+    return seq
+
+
+def test_floor_and_terrain_discard_vs_reference():
+    import reforacle
+
+    ref_mod = reforacle.import_reference("utils.data_utils.process_amass_dataset")
+
+    for kind, want_discard in (("flat", False), ("stairs", True), ("crouch", False)):
+        seq = _synthetic_body_seq(kind)
+        ref_floor, ref_contacts, ref_discard = \
+            ref_mod.determine_floor_height_and_contacts(seq, fps=30)
+        floor, contacts, discard = G.determine_floor_height_and_contacts(seq, fps=30)
+        assert discard == ref_discard == want_discard, (kind, discard, ref_discard)
+        np.testing.assert_allclose(floor, ref_floor, atol=1e-9, err_msg=kind)
+        np.testing.assert_array_equal(contacts, ref_contacts[:, :22], err_msg=kind)
+
+
+def test_terrain_discard_needs_all_three_conditions():
+    """Small clusters (< CLUSTER_SIZE_THRESH * fps frames) on a step must not
+    trigger the discard (process_amass_dataset.py:273)."""
+    seq = _synthetic_body_seq("flat", t=90)
+    # 5 static frames on a step: cluster size 10 (L+R) > 7 at fps=30... use 3
+    seq[40:43, 10, 2] += 0.30
+    seq[40:43, 11, 2] += 0.30
+    seq[40:43, 0, 2] += 0.30
+    _, _, discard = G.determine_floor_height_and_contacts(seq, fps=30)
+    assert not discard  # cluster size 6 <= int(0.25 * 30) = 7
