@@ -77,6 +77,23 @@ def load_of_feats(of_files: list[str], rewrite: tuple[str, str] | None = None,
     return load_npy_batch(paths, feat_dim)
 
 
+def load_raw_flows(of_files: list[str], rewrite: tuple[str, str] | None = None,
+                   augment=None) -> np.ndarray:
+    """Stack per-frame RAW optical-flow npys -> (T, H, W, 2) — the
+    input_of_feats=False HeadNet path (ares_headpose_dataset.py:149-158
+    load_of).  `augment` is an optional per-frame callable (the reference
+    applies augment_flow to each frame when training)."""
+    flows = []
+    for f in of_files:
+        if rewrite is not None:
+            f = f.replace(rewrite[0], rewrite[1])
+        flow = np.load(f)
+        if augment is not None:
+            flow = augment(flow)
+        flows.append(flow)
+    return np.stack(flows).astype(np.float32)
+
+
 def find_slam_npy(slam_res_folder: str, seq_name: str) -> str | None:
     """seq_name 'scene-rest-of-name' -> {folder}/{scene}/{rest}.npy
     (ares_headpose_dataset.py:57-60)."""

@@ -55,11 +55,21 @@ class HeadPoseSequenceDataset:
         for_eval: bool = True,
         min_len: int | None = None,
         require_of_match: bool = False,
+        input_of_feats: bool = True,
+        augment: bool = True,
+        seed: int = 0,
     ):
+        """input_of_feats=False switches 'of' from precomputed 512-d features
+        to raw flow frames (T, 224, 224, 2) with augment_flow applied when
+        training — the reference's opt.input_of_feats=False path
+        (ares_headpose_dataset.py:149-158, trainer_head_estimation.py)."""
         self.window = window
         self.train = train
         self.for_eval = for_eval
         self.of_rewrite = of_rewrite
+        self.input_of_feats = input_of_feats
+        self.augment = augment
+        self._rng = np.random.RandomState(seed)
 
         raw = formats.load_motion_dict(motion_path)
         # filter: long enough + OF files consistent (ares_headpose_dataset.py:93-102)
@@ -117,10 +127,18 @@ class HeadPoseSequenceDataset:
             t0 = random.randint(0, seq_len - self.window)
             t1 = t0 + self.window
 
+        if self.input_of_feats:
+            of = formats.load_of_feats(of_files[t0:t1], self.of_rewrite)
+        else:
+            aug = (
+                (lambda f: augment_flow(f, self._rng))
+                if (self.train and self.augment) else None
+            )
+            of = formats.load_raw_flows(of_files[t0:t1], self.of_rewrite, augment=aug)
         q = {
             "head_pose": seq_head_pose[t0 : t1 + 1].astype(np.float32),
             "head_vels": seq_head_vels[t0:t1].astype(np.float32),
-            "of": formats.load_of_feats(of_files[t0:t1], self.of_rewrite),
+            "of": of,
             "seq_name": rec["seq_name"],
             "seq_len": t1 - t0,
         }

@@ -77,6 +77,11 @@ class HeadFormerWithCNN(nn.Module):
 
     headformer: HeadFormer
     freeze_cnn: bool = True
+    # the reference constructs its ResNet with running_stats=False, i.e.
+    # torch track_running_stats=False: BatchNorm ALWAYS normalizes with the
+    # current batch statistics (egoego/model/resnet.py:20-24).  Callers must
+    # apply with mutable=["batch_stats"] when bn_batch_stats=True.
+    bn_batch_stats: bool = True
 
     @nn.compact
     def __call__(self, flow: Array, padding_mask: Array, deterministic: bool = True):
@@ -84,7 +89,9 @@ class HeadFormerWithCNN(nn.Module):
 
         b, t = flow.shape[:2]
         x = flow_to_input(flow.reshape((b * t,) + flow.shape[2:]))
-        feats = ResNet18(out_dim=self.headformer.cnn_fdim, name="cnn")(x)
+        feats = ResNet18(out_dim=self.headformer.cnn_fdim, name="cnn")(
+            x, train=self.bn_batch_stats
+        )
         feats = feats.reshape(b, t, -1)
         if self.freeze_cnn:
             feats = jax.lax.stop_gradient(feats)

@@ -64,10 +64,11 @@ class ResNet18(nn.Module):
 
 
 def flow_to_input(flow: Array) -> Array:
-    """(B, H, W, 2) optical flow -> (B, 224, 224, 3): zero-pad the channel
-    (egoego/model/head_estimation_transformer.py:135-141 semantics)."""
+    """(B, H, W, 2) optical flow -> (B, H, W, 3): zero-pad the channel
+    (egoego/model/head_estimation_transformer.py:135-141 semantics; the
+    reference always feeds 224x224, but the network is fully convolutional
+    so any size works)."""
     b, h, w, _ = flow.shape
-    assert (h, w) == (224, 224), "resize flow to 224x224 on the host first"
     pad = jnp.zeros((b, h, w, 1), flow.dtype)
     return jnp.concatenate([flow, pad], axis=-1)
 

@@ -34,15 +34,22 @@ def _save_stage1_ckpt(save_dir: str, state, epoch: int):
     return path
 
 
-def run_headnet(cfg, dataset_name: str, data_root_folder: str, num_epochs: int):
+def run_headnet(cfg, dataset_name: str, data_root_folder: str, num_epochs: int,
+                input_of_feats: bool = True):
+    """input_of_feats=False trains from RAW flow frames with crop/noise
+    augmentation through an inline ResNet-18 (the reference's
+    opt.input_of_feats=False path — trainer_head_estimation.py +
+    ares_headpose_dataset.py:149-158)."""
     from egoego_release_tpu.data.headpose import (
         ARESHeadPoseDataset,
         GIMOHeadPoseDataset,
         RealWorldHeadPoseDataset,
     )
-    from egoego_release_tpu.models.headnet import HeadFormer
+    from egoego_release_tpu.models.headnet import HeadFormer, HeadFormerWithCNN
     from egoego_release_tpu.training.trainer_stage1 import (
         Stage1Trainer,
+        freeze_subtrees,
+        headnet_cnn_loss_fn,
         headnet_loss_fn,
         make_optimizer,
     )
@@ -50,18 +57,35 @@ def run_headnet(cfg, dataset_name: str, data_root_folder: str, num_epochs: int):
     mk = {"ares": ARESHeadPoseDataset, "gimo": GIMOHeadPoseDataset,
           "kinpoly": RealWorldHeadPoseDataset}[dataset_name]
     ds = mk(data_root_folder, train=True, window=cfg.headnet.window)
+    if not input_of_feats:
+        # switch the dataset to raw flow loading + augmentation
+        ds.input_of_feats = False
+        ds.augment = True
 
     m = cfg.headnet
-    model = HeadFormer(d_model=m.d_model, n_layers=m.n_dec_layers, n_head=m.n_head,
-                       d_k=m.d_k, d_v=m.d_v, window=m.window)
+    headformer = HeadFormer(d_model=m.d_model, n_layers=m.n_dec_layers, n_head=m.n_head,
+                            d_k=m.d_k, d_v=m.d_v, window=m.window)
     import jax.numpy as jnp
 
-    params = model.init(jax.random.PRNGKey(cfg.train.seed),
-                        jnp.zeros((1, m.window, 512)), jnp.ones((1, m.window)))
-    trainer = Stage1Trainer(model, headnet_loss_fn,
-                            make_optimizer(cfg.train.learning_rate, cfg.train.lr_step_size,
-                                           cfg.train.lr_gamma,
-                                           max(1, len(ds) // cfg.data.batch_size)))
+    if input_of_feats:
+        model = headformer
+        loss_fn = headnet_loss_fn
+        params = model.init(jax.random.PRNGKey(cfg.train.seed),
+                            jnp.zeros((1, m.window, 512)), jnp.ones((1, m.window)))
+    else:
+        model = HeadFormerWithCNN(headformer=headformer,
+                                  freeze_cnn=getattr(m, "freeze_of_cnn", True))
+        loss_fn = headnet_cnn_loss_fn
+        params = model.init(jax.random.PRNGKey(cfg.train.seed),
+                            jnp.zeros((1, m.window, 224, 224, 2)),
+                            jnp.ones((1, m.window)))
+    optimizer = make_optimizer(cfg.train.learning_rate, cfg.train.lr_step_size,
+                               cfg.train.lr_gamma,
+                               max(1, len(ds) // cfg.data.batch_size))
+    if not input_of_feats:
+        frozen = ("cnn", "batch_stats") if model.freeze_cnn else ("batch_stats",)
+        optimizer = freeze_subtrees(optimizer, frozen)
+    trainer = Stage1Trainer(model, loss_fn, optimizer)
     state = trainer.init_state(params)
 
     save_dir = os.path.join(cfg.logging.save_dir, cfg.logging.exp_name)
@@ -145,6 +169,9 @@ def main(argv=None):
     ph.add_argument("--dataset", choices=["ares", "gimo", "kinpoly"], required=True)
     ph.add_argument("--data_root_folder", required=True)
     ph.add_argument("--epochs", type=int, default=250)
+    ph.add_argument("--raw_flow", action="store_true",
+                    help="train from raw flow frames through an inline "
+                         "ResNet-18 with augmentation (input_of_feats=False)")
     pg = sub.add_parser("gravitynet")
     pg.add_argument("--motion_path", required=True)
     pg.add_argument("--epochs", type=int, default=2000)
@@ -154,7 +181,8 @@ def main(argv=None):
     args = p.parse_args(argv)
     cfg = load_config(args.config, overrides=args.set)
     if args.which == "headnet":
-        run_headnet(cfg, args.dataset, args.data_root_folder, args.epochs)
+        run_headnet(cfg, args.dataset, args.data_root_folder, args.epochs,
+                    input_of_feats=not args.raw_flow)
     else:
         run_gravitynet(cfg, args.motion_path, args.epochs)
 

@@ -47,6 +47,26 @@ def make_optimizer(lr: float, step_size_epochs: int, gamma: float = 0.3,
     )
 
 
+def freeze_subtrees(optimizer, frozen_keys: tuple[str, ...]):
+    """Zero all updates (including AdamW weight decay) for params whose tree
+    path contains one of `frozen_keys`.  torch optimizers skip
+    requires_grad=False params entirely — the reference freezes the OF CNN
+    that way (head_estimation_transformer.py:68-72) — whereas optax.adamw
+    would still weight-decay them."""
+    import jax.tree_util as jtu
+
+    def label_fn(params):
+        def lab(path, _):
+            keys = {getattr(p, "key", None) for p in path}
+            return "frozen" if keys & set(frozen_keys) else "train"
+
+        return jtu.tree_map_with_path(lab, params)
+
+    return optax.multi_transform(
+        {"train": optimizer, "frozen": optax.set_to_zero()}, label_fn
+    )
+
+
 class Stage1Trainer:
     """Generic stage-1 trainer; subclass-free via a loss closure."""
 
@@ -88,6 +108,30 @@ def headnet_loss_fn(model: HeadFormer, params, batch, key,
     va, dist = model.apply(
         params, batch["of"], mask, deterministic=False,
         rngs={"dropout": key},
+    )
+    loss, (ol, vl, dl) = headformer_loss(
+        va, dist,
+        batch["head_pose"][:, 0, 3:],
+        batch["head_vels"][:, :, 3:],
+        batch["head_pose"][:, :, 3:],
+        batch["head_pose"][:, :, :3],
+        w_rotation=w_rotation, w_va=w_va, w_dist=w_dist, dist_scale=dist_scale,
+    )
+    return loss, {"orient": ol, "va": vl, "dist": dl}
+
+
+def headnet_cnn_loss_fn(model, params, batch, key,
+                        w_rotation: float = 1.0, w_va: float = 1.0,
+                        w_dist: float = 1.0, dist_scale: float = 10.0):
+    """Raw-flow variant (input_of_feats=False): batch['of'] is
+    (B, T, H, W, 2) flow frames; the HeadFormerWithCNN encodes them inline.
+    BatchNorm uses current-batch statistics (reference running_stats=False),
+    so apply is mutable over batch_stats; the updated stats are discarded
+    (the reference never reads running averages on this path)."""
+    mask = padding_mask_from_len(batch["seq_len"].astype(jnp.float32), model.headformer.window)
+    (va, dist), _ = model.apply(
+        params, batch["of"], mask, deterministic=False,
+        rngs={"dropout": key}, mutable=["batch_stats"],
     )
     loss, (ol, vl, dl) = headformer_loss(
         va, dist,

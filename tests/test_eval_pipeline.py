@@ -136,9 +136,11 @@ def test_headformer_with_cnn_path():
                     cnn_fdim=32, mlp_hsize=(8,))
     model = HeadFormerWithCNN(headformer=hf)
     rng = np.random.RandomState(0)
-    flow = jnp.asarray(rng.randn(1, 4, 224, 224, 2).astype(np.float32))
+    flow = jnp.asarray(rng.randn(1, 4, 64, 64, 2).astype(np.float32))
     mask = jnp.ones((1, 4))
     params = model.init(jax.random.PRNGKey(0), flow, mask)
-    va, dist = model.apply(params, flow, mask)
+    # BatchNorm uses current-batch statistics (reference running_stats=False),
+    # so apply is mutable over batch_stats
+    (va, dist), _ = model.apply(params, flow, mask, mutable=["batch_stats"])
     assert va.shape == (1, 4, 3) and dist.shape == (1, 4, 1)
     assert np.isfinite(np.asarray(va)).all()

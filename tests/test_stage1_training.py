@@ -91,3 +91,112 @@ def test_headnet_training_step_runs():
     state, loss, aux = trainer.train_step(state, batch, jax.random.PRNGKey(4))
     assert np.isfinite(float(loss))
     assert set(aux) == {"orient", "va", "dist"}
+
+
+# ---------------------------------------------------------------------------
+# raw-flow (input_of_feats=False) HeadNet training path
+# ---------------------------------------------------------------------------
+
+def test_augment_flow_properties():
+    from egoego_release_tpu.data.headpose import augment_flow
+
+    rng = np.random.RandomState(0)
+    flow = rng.randn(240, 240, 2).astype(np.float32)
+    out1 = augment_flow(flow, np.random.RandomState(1))
+    out2 = augment_flow(flow, np.random.RandomState(2))
+    assert out1.shape == (224, 224, 2)
+    assert np.isfinite(out1).all() and np.isfinite(out2).all()
+    # different rng -> different crop/noise
+    assert np.abs(out1 - out2).max() > 1e-3
+    # noise is small: augmented values stay in a sane envelope
+    assert np.abs(out1).max() < np.abs(flow).max() + 10.0
+
+
+def test_raw_flow_dataset_pipeline(tmp_path):
+    """HeadPoseSequenceDataset(input_of_feats=False) loads RAW flow frames
+    and applies augment_flow when training (ares_headpose_dataset.py:149-158):
+    augmentation changes samples but preserves shapes/finiteness."""
+    import joblib
+
+    from egoego_release_tpu.data.headpose import HeadPoseSequenceDataset
+
+    rng = np.random.RandomState(0)
+    t = 6
+    flow_files = []
+    for i in range(t):
+        f = tmp_path / f"flow_{i}.npy"
+        np.save(f, rng.randn(240, 240, 2).astype(np.float32))
+        flow_files.append(str(f))
+    rec = {
+        "seq_name": "synthetic",
+        "head_qpos": np.concatenate(
+            [rng.randn(t + 1, 3), np.tile([1.0, 0, 0, 0], (t + 1, 1))], axis=-1
+        ).astype(np.float32),
+        "head_vels": rng.randn(t + 1, 6).astype(np.float32),
+        "of_files": flow_files,
+    }
+    motion_path = tmp_path / "motion.p"
+    joblib.dump({0: rec}, motion_path)
+
+    ds = HeadPoseSequenceDataset(
+        str(motion_path), window=3, train=True, for_eval=False,
+        input_of_feats=False, augment=True, seed=0,
+    )
+    a = ds[0]["of"]
+    b = ds[0]["of"]
+    assert a.shape == (3, 224, 224, 2) and b.shape == (3, 224, 224, 2)
+    assert np.isfinite(a).all() and np.isfinite(b).all()
+    assert np.abs(a - b).max() > 1e-3  # augmentation (and crop) varies
+
+    # eval mode: whole sequence, no augmentation, original resolution
+    ds_eval = HeadPoseSequenceDataset(
+        str(motion_path), window=3, train=False, for_eval=True,
+        input_of_feats=False,
+    )
+    e1 = ds_eval[0]["of"]
+    e2 = ds_eval[0]["of"]
+    assert e1.shape == (t, 240, 240, 2)
+    np.testing.assert_array_equal(e1, e2)
+
+
+def test_raw_flow_training_step():
+    """One HeadFormerWithCNN training step through headnet_cnn_loss_fn:
+    finite loss, parameters move (augment_flow finally has a trainer)."""
+    from egoego_release_tpu.models.headnet import HeadFormer, HeadFormerWithCNN
+    from egoego_release_tpu.training.trainer_stage1 import (
+        Stage1Trainer,
+        freeze_subtrees,
+        headnet_cnn_loss_fn,
+        make_optimizer,
+    )
+
+    hf = HeadFormer(d_model=16, n_layers=1, n_head=2, d_k=8, d_v=8, window=3,
+                    cnn_fdim=32, mlp_hsize=(8,))
+    model = HeadFormerWithCNN(headformer=hf, freeze_cnn=True)
+    rng = np.random.RandomState(0)
+    flow = rng.randn(2, 3, 32, 32, 2).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(flow), jnp.ones((2, 3)))
+
+    batch = {
+        "of": flow,
+        "head_pose": np.concatenate(
+            [rng.randn(2, 4, 3), np.tile([1.0, 0, 0, 0], (2, 4, 1))], axis=-1
+        ).astype(np.float32),
+        "head_vels": rng.randn(2, 3, 6).astype(np.float32),
+        "seq_len": np.asarray([3, 3], np.int32),
+    }
+    trainer = Stage1Trainer(
+        model, headnet_cnn_loss_fn,
+        freeze_subtrees(make_optimizer(1e-3, 1000), ("cnn", "batch_stats")),
+    )
+    state = trainer.init_state(params)
+    # copy BEFORE the step: train_step donates the input state's buffers
+    before = np.asarray(state.params["params"]["headformer"]["action_va_fc"]["kernel"])
+    cnn_before = np.asarray(state.params["params"]["cnn"]["conv1"]["kernel"])
+    new_state, loss, aux = trainer.train_step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    # transformer params must move; frozen CNN params must NOT
+    after = np.asarray(new_state.params["params"]["headformer"]["action_va_fc"]["kernel"])
+    assert np.abs(before - after).max() > 0
+    cnn_after = np.asarray(new_state.params["params"]["cnn"]["conv1"]["kernel"])
+    np.testing.assert_array_equal(cnn_before, cnn_after)
