@@ -45,12 +45,21 @@ class KinematicHumanoidEnv:
 
     def __init__(self, rest_offsets, w_pose=0.5, w_vel=0.1, w_head=0.4,
                  k_pose=2.0, k_vel=0.005, k_head=5.0,
-                 head_fail_dist=0.5, dt=1.0 / 30.0):
+                 head_fail_dist=0.5, dt=1.0 / 30.0,
+                 reward_id: str | None = None,
+                 reward_weights: dict | None = None):
+        """reward_id selects a kinpoly reward from rl/rewards.py (e.g.
+        'dynamic_supervision_v3', the statear production reward); None keeps
+        the legacy 3-term w*exp(-k*err) reward.  The expert trajectory stands
+        in for the reference's kinematic-target/AR-context/GT pose sources
+        (see rewards.RewardContext)."""
         self.rest_offsets = jnp.asarray(rest_offsets)
         self.w = (w_pose, w_vel, w_head)
         self.k = (k_pose, k_vel, k_head)
         self.head_fail_dist = head_fail_dist
         self.dt = dt
+        self.reward_id = reward_id
+        self.reward_weights = reward_weights
         self.obs_dim = 74 + QVEL_DIM + 3 + 4 + 6  # local qpos + qvel + head diffs + target vels
         self.action_dim = ACTION_DIM
 
@@ -68,6 +77,11 @@ class KinematicHumanoidEnv:
         trans, aa24 = geometry.qpos_to_smpl(qpos)
         gq, gp = fk_mod.fk_smpl(trans, aa24[:, :22], self.rest_offsets)
         return gp[:, fk_mod.HEAD_IDX], gq[:, fk_mod.HEAD_IDX]
+
+    def _body_pose(self, qpos):
+        """Full-body FK: (global quats (B,22,4), world body pos (B,22,3))."""
+        trans, aa24 = geometry.qpos_to_smpl(qpos)
+        return fk_mod.fk_smpl(trans, aa24[:, :22], self.rest_offsets)
 
     def obs(self, state: EnvState, expert: dict) -> jnp.ndarray:
         """Observation at the current step (HumanoidAREnv get_obs spirit:
@@ -93,20 +107,46 @@ class KinematicHumanoidEnv:
         envs = jnp.arange(state.qpos.shape[0])
 
         e_qpos = expert["qpos"][t_next, envs]
-        # imitation rewards: exp(-k * err) (reward_function.py shape)
-        pose_err = jnp.mean((next_qpos[:, 7:] - e_qpos[:, 7:]) ** 2, axis=-1)
-        vel_err = jnp.mean(next_qvel ** 2, axis=-1)
         hpos, hrot = self._head_pose(next_qpos)
         e_head = expert["head_pose"][t_next, envs]
         head_err = jnp.sum((hpos - e_head[:, :3]) ** 2, axis=-1)
 
-        w_p, w_v, w_h = self.w
-        k_p, k_v, k_h = self.k
-        reward = (
-            w_p * jnp.exp(-k_p * pose_err)
-            + w_v * jnp.exp(-k_v * vel_err)
-            + w_h * jnp.exp(-k_h * head_err)
-        )
+        if self.reward_id is not None:
+            from egoego_release_tpu.rl.rewards import REWARD_FUNCS, RewardContext
+
+            cur_bquat, cur_wbpos = self._body_pose(next_qpos)
+            prev_bquat, _ = self._body_pose(state.qpos)
+            e_bquat, e_wbpos = self._body_pose(e_qpos)
+            e_prev_qpos = expert["qpos"][state.t, envs]
+            e_prev_bquat, _ = self._body_pose(e_prev_qpos)
+            ctx = RewardContext(
+                cur_hpose=jnp.concatenate([hpos, hrot], axis=-1),
+                tgt_hpose=e_head,
+                cur_bquat=cur_bquat,
+                prev_bquat=prev_bquat,
+                cur_wbpos=cur_wbpos,
+                tgt_bquat=e_bquat,
+                tgt_wbpos=e_wbpos,
+                tgt_qpos=next_qpos,
+                ar_qpos=e_qpos,
+                ar_bquat=e_bquat,
+                ar_prev_bquat=e_prev_bquat,
+                gt_bquat=e_bquat,
+                gt_prev_bquat=e_prev_bquat,
+                dt=self.dt,
+            )
+            reward, _ = REWARD_FUNCS[self.reward_id](ctx, self.reward_weights)
+        else:
+            # legacy 3-term rewards: exp(-k * err) (reward_function.py shape)
+            pose_err = jnp.mean((next_qpos[:, 7:] - e_qpos[:, 7:]) ** 2, axis=-1)
+            vel_err = jnp.mean(next_qvel ** 2, axis=-1)
+            w_p, w_v, w_h = self.w
+            k_p, k_v, k_h = self.k
+            reward = (
+                w_p * jnp.exp(-k_p * pose_err)
+                + w_v * jnp.exp(-k_v * vel_err)
+                + w_h * jnp.exp(-k_h * head_err)
+            )
 
         head_dist = jnp.sqrt(head_err)
         fail = head_dist > self.head_fail_dist       # fail_safe termination

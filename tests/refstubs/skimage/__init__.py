@@ -1,0 +1,1 @@
+"""skimage import stand-in (kinpoly/relive/utils/tools.py:12)."""
