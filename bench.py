@@ -53,15 +53,26 @@ def main():
 
     baseline_path = os.path.join(os.path.dirname(__file__), "BASELINE_MEASURED.json")
     vs_baseline = None
+    vs_baseline_kind = None
+    vs_measured_torch_cpu = None
     if os.path.exists(baseline_path):
         with open(baseline_path) as f:
             base = json.load(f)
-        # prefer the conservative GPU estimate over the (1-core) CPU measurement
-        ref = base.get("estimated_reference_gpu_samples_per_sec") or base.get(
-            "torch_reference_samples_per_sec"
-        )
-        if ref:
-            vs_baseline = samples_per_sec / ref
+        # the reference publishes no numbers and its GPU env is unavailable
+        # (BASELINE.md): the headline ratio divides by an ANALYTIC V100-class
+        # estimate, labeled as such so it cannot be misread as a measured GPU;
+        # the measured comparison available in-environment is equivalent-torch
+        # on this host's (1-core) CPU, reported under its own key.
+        est = base.get("estimated_reference_gpu_samples_per_sec")
+        cpu = base.get("torch_reference_samples_per_sec")
+        if est:
+            vs_baseline = samples_per_sec / est
+            vs_baseline_kind = "analytic-gpu-estimate"
+        elif cpu:
+            vs_baseline = samples_per_sec / cpu
+            vs_baseline_kind = "measured-torch-cpu-1core"
+        if cpu:
+            vs_measured_torch_cpu = samples_per_sec / cpu
 
     print(
         json.dumps(
@@ -70,6 +81,10 @@ def main():
                 "value": round(samples_per_sec, 4),
                 "unit": "samples/sec",
                 "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+                "vs_baseline_kind": vs_baseline_kind,
+                "vs_measured_torch_cpu_1core": (
+                    round(vs_measured_torch_cpu, 1) if vs_measured_torch_cpu else None
+                ),
             }
         )
     )

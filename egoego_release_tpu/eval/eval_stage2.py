@@ -7,7 +7,8 @@ pose, sample, and run the metric suite; dump a JSON summary.
 
 Usage:
   python -m egoego_release_tpu.eval.eval_stage2 \
-      --data_root_folder <root> --checkpoint stage2_diffusion_4.pt \
+      --test_data_path <test_amass_smplh_motion.p> \
+      --checkpoint stage2_diffusion_4.pt \
       --smplh_path smpl_models/smplh_amass [--sample_bs 8]
 """
 

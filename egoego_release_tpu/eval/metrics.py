@@ -131,6 +131,10 @@ def compute_metrics_for_smpl(
         "pred_fs": compute_foot_sliding(pred_global_jpos, pred_floor_height),
         "gt_fs": compute_foot_sliding(gt_global_jpos, gt_floor_height),
     }
+    # per-joint jpe_<i> keys exactly as the reference emits them
+    # (eval_metrics_imu_rec.py:301-303); single_jpe keeps the array form
+    for i in range(single_jpe.shape[0]):
+        res[f"jpe_{i}"] = single_jpe[i]
     return res
 
 

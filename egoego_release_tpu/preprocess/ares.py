@@ -9,6 +9,15 @@ paths), plus train/test scene splits.
 
 The SMPL forward is the batched JAX LBS; head features reuse
 preprocess/amass.head_features.
+
+GIMO input contract (replacing the reference's dataset-creation tooling,
+utils/gimo_utils/extract_pose_params.py + segment_seq_images.py, which are
+out of scope — they fit VPoser to raw GIMO captures and segment the ego
+video): this CLI expects each GIMO sequence already expressed in the same
+`ori_motion_seq.npz` schema the rendered ARES sequences use — SMPL params
+(root_orient (T,3), body_pose (T,63), trans (T,3), beta, gender) at 30 fps
+plus `raft_flows/*.npy` per-frame flow — i.e. the OUTPUT of the reference's
+VPoser fitting step, not its raw inputs.
 """
 
 from __future__ import annotations
