@@ -21,14 +21,21 @@ _KEYS = ("qpos", "qvel", "head_pose", "head_vels", "obj_pose",
 
 class StateARDataset:
     def __init__(self, expert_path: str, fr_num: int = 90, train: bool = True,
-                 seed: int = 0):
+                 seed: int = 0, takes: list[str] | None = None):
+        """takes: optional take-name whitelist (the reference's dataset is
+        built from cfg.takes[mode] — statear_smpl_dataset.py:31)."""
         self.fr_num = fr_num
         self.train = train
         self.rng = random.Random(seed)
         data = load_motion_dict(expert_path)
-        self.records = [
-            rec for rec in data.values() if rec["qpos"].shape[0] >= fr_num
-        ]
+        wanted = set(takes) if takes is not None else None
+        self.records = []
+        for key, rec in data.items():
+            name = rec.get("seq_name", str(key))
+            if wanted is not None and name not in wanted and str(key) not in wanted:
+                continue
+            if rec["qpos"].shape[0] >= fr_num:
+                self.records.append(rec)
         self.names = [rec.get("seq_name", str(i)) for i, rec in enumerate(self.records)]
 
     def __len__(self):
