@@ -37,3 +37,46 @@ def test_skeleton_animation(tmp_path):
     jpos = rng.randn(1, 5, 22, 3).astype(np.float32)
     path = show3dpose_animation(jpos, os.path.join(tmp_path, "anim.gif"), fps=5)
     assert os.path.getsize(path) > 1000
+
+
+def test_html_viewer_export(tmp_path):
+    """Standalone HTML animation export (scenepic sp_animation replacement,
+    mesh_motion.py:287-339): valid self-contained file, embeds every layer,
+    round-trips the frame data."""
+    import json
+    import re
+
+    from egoego_release_tpu.vis.html_viewer import (
+        HTMLAnimation,
+        vis_skeleton_motion_html,
+    )
+
+    rng = np.random.RandomState(0)
+    jpos = rng.randn(5, 22, 3).astype(np.float32)
+    traj = rng.randn(5, 3).astype(np.float32)
+
+    anim = HTMLAnimation(fps=30, title="test seq")
+    anim.add_skeleton("pred", jpos)
+    anim.add_trajectory("head", traj)
+    out = anim.save_animation(str(tmp_path / "anim.html"))
+
+    html = open(out).read()
+    assert html.startswith("<!DOCTYPE html>")
+    assert "test seq" in html and "__DATA__" not in html
+    data = json.loads(re.search(r"const DATA = (\{.*?\});\n", html).group(1))
+    assert data["numFrames"] == 5
+    assert data["skeletons"][0]["name"] == "pred"
+    assert len(data["skeletons"][0]["parents"]) == 22
+    np.testing.assert_allclose(
+        np.asarray(data["skeletons"][0]["frames"]), jpos, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(data["trajectories"][0]["points"]), traj, atol=1e-3
+    )
+
+    # one-call analog of vis_mesh_motion with GT overlay
+    out2 = vis_skeleton_motion_html(
+        jpos, str(tmp_path / "cmp.html"), gt_jpos=jpos + 0.1, head_traj=traj
+    )
+    data2 = json.loads(re.search(r"const DATA = (\{.*?\});\n", open(out2).read()).group(1))
+    assert [s["name"] for s in data2["skeletons"]] == ["pred", "gt"]
