@@ -2,6 +2,7 @@
 OWN reward_function.py (imported via tests/refstubs) + expert-replay ranking
 through the kinematic env."""
 
+import os
 from types import SimpleNamespace
 
 import numpy as np
@@ -242,3 +243,62 @@ def test_env_reward_ranks_expert_above_perturbed():
     assert r_expert > r_noisy > r_noisier
     # exact replay earns ~max reward every step
     assert r_expert > 0.95 * (t_total - 1)
+
+
+def test_train_agent_from_statear_config(tmp_path):
+    """The agent training loop driven by a statear YAML: reward_id and
+    policy_specs are honored, PPO iterations produce finite metrics, and a
+    checkpoint lands on disk (agent_ar.py loop, policy_specs from
+    statear_smpl_config.py)."""
+    import joblib
+    import yaml
+
+    from egoego_release_tpu.models.trajar import QPOS_DIM
+    from egoego_release_tpu.rl.train_agent import build_from_config, train
+    from egoego_release_tpu.utils.config import KinpolyConfig
+
+    rng = np.random.RandomState(0)
+    t = 12
+    qpos = np.zeros((t, QPOS_DIM), np.float32)
+    qpos[:, 3] = 1.0
+    qpos[:, :3] = np.cumsum(rng.uniform(-0.01, 0.01, (t, 3)), 0)
+    qpos[:, 7:] = rng.uniform(-0.2, 0.2, 69)
+    rec = {
+        "qpos": qpos,
+        "qvel": rng.randn(t - 1, 75).astype(np.float32) * 0.01,
+        "head_pose": np.concatenate(
+            [rng.randn(t, 3) * 0.05, np.tile([1.0, 0, 0, 0], (t, 1))], -1
+        ).astype(np.float32),
+        "head_vels": rng.randn(t, 6).astype(np.float32) * 0.01,
+        "obj_pose": rng.randn(t, 7).astype(np.float32),
+        "obj_head_relative_poses": rng.randn(t, 7).astype(np.float32),
+        "seq_name": "t1",
+    }
+    expert_path = str(tmp_path / "experts.p")
+    joblib.dump({"t1": rec}, expert_path)
+
+    cfg_d = {
+        "fr_num": 8,
+        "policy_specs": {
+            "reward_id": "dynamic_supervision_v4",
+            "reward_weights": {"k_hp": 2.0, "k_p": 1.0},
+            "gamma": 0.9, "tau": 0.9, "clip_epsilon": 0.1,
+            "policy_lr": 1e-4, "value_lr": 1e-3, "num_optim_epoch": 2,
+            "policy_hsize": [32, 16],
+        },
+    }
+    cfg_path = str(tmp_path / "exp.yml")
+    yaml.safe_dump(cfg_d, open(cfg_path, "w"))
+
+    rest = rng.uniform(-0.2, 0.2, (22, 3)).astype(np.float32)
+    rest[0] = 0.0
+    env, agent = build_from_config(KinpolyConfig(cfg_path), rest, num_envs=2)
+    assert env.reward_id == "dynamic_supervision_v4"
+    assert agent.cfg.clip_eps == 0.1
+
+    out = train(cfg_path, expert_path, rest, iters=2, num_envs=2, seed=0,
+                save_dir=str(tmp_path / "agent"), save_interval=2)
+    assert len(out["history"]) == 2
+    for m in out["history"]:
+        assert np.isfinite(m["reward_mean"]) and np.isfinite(m["policy_loss"])
+    assert os.path.isdir(tmp_path / "agent" / "iter-2")
