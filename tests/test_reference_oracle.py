@@ -718,3 +718,48 @@ def test_reference_quat_ik_fk_parity():
         fk_mod.ik_to_local_quat(rot.matrix_to_quat(jnp.asarray(g_mats.numpy())))
     )
     np.testing.assert_allclose(np.asarray(our_local), ref_local.numpy(), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# demo dataset on the REAL bundled fixture vs the reference's own loader
+# ---------------------------------------------------------------------------
+
+def test_reference_demo_dataset_parity():
+    """ARESDemoDataset record-for-record against the reference's own loader
+    (egoego/data/ares_demo_dataset.py) on the bundled 140-frame fixture:
+    head pose/vels, OF features, and the SLAM attachment (first-frame
+    alignment) must all match."""
+    from egoego_release_tpu.data.headpose import ARESDemoDataset
+
+    dm = reforacle.import_reference("egoego.data.ares_demo_dataset")
+    root = "/root/reference/test_data/ares"
+    ref_ds = dm.ARESDemoDataset(root)
+    ref_q = ref_ds[0]
+
+    ours_ds = ARESDemoDataset(root)
+    assert len(ours_ds) == len(ref_ds) == 1
+    our_q = ours_ds[0]
+
+    assert our_q["seq_name"] == ref_q["seq_name"]
+    assert our_q["seq_len"] == ref_q["seq_len"]
+    np.testing.assert_allclose(our_q["head_pose"], ref_q["head_pose"], atol=1e-6)
+    np.testing.assert_allclose(our_q["head_vels"], ref_q["head_vels"], atol=1e-6)
+    np.testing.assert_allclose(our_q["of"], ref_q["of"], atol=1e-6)
+    np.testing.assert_allclose(
+        our_q["ori_slam_trans"], ref_q["ori_slam_trans"], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        our_q["aligned_slam_trans"], ref_q["aligned_slam_trans"], atol=1e-5
+    )
+    np.testing.assert_allclose(
+        our_q["aligned_slam_rot_mat"], ref_q["aligned_slam_rot_mat"], atol=1e-5
+    )
+    # quats may differ in sign only
+    sign = np.sign(np.sum(
+        our_q["aligned_slam_rot_quat"] * ref_q["aligned_slam_rot_quat"],
+        axis=-1, keepdims=True,
+    ))
+    np.testing.assert_allclose(
+        our_q["aligned_slam_rot_quat"], sign * ref_q["aligned_slam_rot_quat"],
+        atol=1e-5,
+    )
