@@ -81,6 +81,19 @@ def run(opt):
                 os.path.join(opt.out_dir, rec["seq_name"] + "_objs"),
             )
 
+        if opt.save_html_vis:
+            from egoego_release_tpu.vis.html_viewer import vis_skeleton_motion_html
+
+            pred_snapped = np.asarray(pred_jpos[0]).copy()
+            pred_snapped[:, :, 2] -= floor
+            html_path = vis_skeleton_motion_html(
+                pred_snapped,
+                os.path.join(opt.out_dir, rec["seq_name"] + ".html"),
+                head_traj=head_pose[:, :3],
+                title=rec["seq_name"],
+            )
+            print("saved:", html_path)
+
 
 def parse_opt(argv=None):
     p = argparse.ArgumentParser()
@@ -94,6 +107,9 @@ def parse_opt(argv=None):
     p.add_argument("--window", type=int, default=120)
     p.add_argument("--demo_floor_offset", type=float, default=-0.13)
     p.add_argument("--export_objs", action="store_true")
+    p.add_argument("--save_html_vis", action="store_true",
+                   help="write a standalone interactive HTML skeleton "
+                        "animation per sequence (vis/html_viewer.py)")
     p.add_argument("--out_dir", default="./demo_out")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
