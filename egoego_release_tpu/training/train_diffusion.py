@@ -69,6 +69,15 @@ def run(cfg, train_data_path: str):
         state = state._replace(params=shard_params(state.params, mesh))
 
     batches = ds.batch_iterator(cfg.data.batch_size * cfg.train.grad_accum, k_data)
+    if cfg.data.prefetch > 0:
+        # DataLoader-workers analog: background thread + device_put so the
+        # host->HBM transfer overlaps the previous step's compute
+        from egoego_release_tpu.data.prefetch import prefetch_to_device
+        from egoego_release_tpu.parallel.mesh import batch_sharding
+
+        sharding = batch_sharding(mesh) if mesh is not None else None
+        batches = prefetch_to_device(batches, prefetch=cfg.data.prefetch,
+                                     sharding=sharding)
     ckpt_dir = os.path.join(save_dir, "weights")
 
     # preemption safety: SIGTERM/SIGINT checkpoint-and-exit (the reference

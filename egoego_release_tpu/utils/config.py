@@ -27,6 +27,7 @@ class DataConfig:
     window: int = 120
     canonicalize_init_head: bool = True
     batch_size: int = 32
+    prefetch: int = 2  # background-prefetch queue depth (0 = synchronous)
 
 
 @dataclass(frozen=True)
