@@ -95,17 +95,29 @@ def run_headnet(cfg, dataset_name: str, data_root_folder: str, num_epochs: int,
     rng = np.random.RandomState(cfg.train.seed)
     key = jax.random.PRNGKey(cfg.train.seed)
     steps_per_epoch = max(1, len(ds) // cfg.data.batch_size)
-    step = 0
-    for epoch in range(num_epochs):
+
+    def epoch_batches():
+        """One epoch of host batches; OF-file loading happens here, so the
+        prefetch thread overlaps it with the train step."""
         order = rng.permutation(len(ds))
         for s in range(steps_per_epoch):
-            items = [ds[int(j)] for j in order[s * cfg.data.batch_size:(s + 1) * cfg.data.batch_size]]
-            batch = {
+            items = [ds[int(j)] for j in
+                     order[s * cfg.data.batch_size:(s + 1) * cfg.data.batch_size]]
+            yield {
                 "of": np.stack([it["of"] for it in items]),
                 "head_pose": np.stack([it["head_pose"] for it in items]),
                 "head_vels": np.stack([it["head_vels"] for it in items]),
                 "seq_len": np.asarray([it["seq_len"] for it in items], np.int32),
             }
+
+    step = 0
+    for epoch in range(num_epochs):
+        batches = epoch_batches()
+        if cfg.data.prefetch > 0:
+            from egoego_release_tpu.data.prefetch import prefetch_to_device
+
+            batches = prefetch_to_device(batches, prefetch=cfg.data.prefetch)
+        for batch in batches:
             key, sk = jax.random.split(key)
             state, loss, aux = trainer.train_step(state, batch, sk)
             step += 1
