@@ -763,3 +763,82 @@ def test_reference_demo_dataset_parity():
         our_q["aligned_slam_rot_quat"], sign * ref_q["aligned_slam_rot_quat"],
         atol=1e-5,
     )
+
+
+# ---------------------------------------------------------------------------
+# SMPL-tensor metric suite vs the reference's own compute_metrics_for_smpl
+# ---------------------------------------------------------------------------
+
+def _load_reference_metric_fns():
+    """eval_metrics_imu_rec.py builds a MuJoCo env at module import (:42-50),
+    so the pure-tensor metric functions are extracted by AST at test time and
+    exec'd with their real dependencies (relive.utils.metrics — importable)."""
+    import ast
+
+    reforacle.add_reference_paths()
+    import sys as _sys
+
+    if "/root/reference/kinpoly" not in _sys.path:
+        _sys.path.insert(0, "/root/reference/kinpoly")
+    import relive.utils.metrics as ref_metrics
+
+    src = open(
+        "/root/reference/kinpoly/scripts/eval_metrics_imu_rec.py"
+    ).read()
+    tree = ast.parse(src)
+    wanted = {
+        "compute_accel", "compute_error_accel",
+        "compute_foot_sliding_for_smpl", "compute_metrics_for_smpl",
+    }
+    module = ast.Module(
+        body=[n for n in tree.body
+              if isinstance(n, ast.FunctionDef) and n.name in wanted],
+        type_ignores=[],
+    )
+    from collections import defaultdict
+
+    ns = {
+        "np": np, "torch": torch, "defaultdict": defaultdict,
+        "get_root_matrix": ref_metrics.get_root_matrix,
+        "get_frobenious_norm": ref_metrics.get_frobenious_norm,
+        "get_frobenious_norm_rot_only": ref_metrics.get_frobenious_norm_rot_only,
+    }
+    exec(compile(module, "<reference eval_metrics_imu_rec>", "exec"), ns)
+    assert wanted <= set(ns)
+    return ns
+
+
+def test_reference_metric_suite_parity():
+    """Every key of compute_metrics_for_smpl (eval_metrics_imu_rec.py:264-342)
+    against the reference's own function on random motion."""
+    from egoego_release_tpu.eval import metrics as metrics_mod
+
+    ref = _load_reference_metric_fns()
+    rng = np.random.RandomState(20)
+    t = 16
+
+    def motion(seed):
+        r = np.random.RandomState(seed)
+        jpos = np.cumsum(r.uniform(-0.05, 0.05, (t, 22, 3)), axis=0).astype(np.float32)
+        jpos[:, :, 2] += 0.9
+        quat = ScipyRot.random(t * 22, random_state=r).as_quat()[:, [3, 0, 1, 2]]
+        return jpos, quat.reshape(t, 22, 4).astype(np.float32)
+
+    gt_jpos, gt_quat = motion(1)
+    pred_jpos, pred_quat = motion(2)
+    gt_floor, pred_floor = 0.12, 0.07
+
+    ref_md = ref["compute_metrics_for_smpl"](
+        torch.from_numpy(gt_quat), torch.from_numpy(gt_jpos), gt_floor,
+        torch.from_numpy(pred_quat), torch.from_numpy(pred_jpos), pred_floor,
+    )
+    our_md = metrics_mod.compute_metrics_for_smpl(
+        jnp.asarray(gt_quat), jnp.asarray(gt_jpos), jnp.float32(gt_floor),
+        jnp.asarray(pred_quat), jnp.asarray(pred_jpos), jnp.float32(pred_floor),
+    )
+    for key, ref_val in ref_md.items():
+        assert key in our_md, f"missing metric {key}"
+        np.testing.assert_allclose(
+            np.mean(np.asarray(our_md[key])), np.asarray(ref_val),
+            rtol=2e-4, atol=2e-4, err_msg=key,
+        )
