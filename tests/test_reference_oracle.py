@@ -842,3 +842,57 @@ def test_reference_metric_suite_parity():
             np.mean(np.asarray(our_md[key])), np.asarray(ref_val),
             rtol=2e-4, atol=2e-4, err_msg=key,
         )
+
+
+# ---------------------------------------------------------------------------
+# head-velocity features + qpos->SMPL codec vs the reference's own functions
+# ---------------------------------------------------------------------------
+
+def test_reference_get_head_vel_parity():
+    """ops.geometry.get_head_vel vs the reference's get_head_vel
+    (process_amass_dataset.py:111-137, the same function the eval drivers
+    import from convert_amass_ego_syn_to_qpos)."""
+    from egoego_release_tpu.ops import geometry as G
+
+    ref_mod = reforacle.import_reference("utils.data_utils.process_amass_dataset")
+    rng = np.random.RandomState(30)
+    t = 12
+    trans = np.cumsum(rng.uniform(-0.05, 0.05, (t, 3)), axis=0).astype(np.float32)
+    q = ScipyRot.random(random_state=rng)
+    quats = []
+    for _ in range(t):
+        q = ScipyRot.from_rotvec(rng.uniform(-0.2, 0.2, 3)) * q
+        quats.append(q.as_quat()[[3, 0, 1, 2]])
+    head_pose = np.concatenate([trans, np.asarray(quats, np.float32)], axis=-1)
+
+    ref_vel = ref_mod.get_head_vel(torch.from_numpy(head_pose))
+    our_vel = G.get_head_vel(jnp.asarray(head_pose))
+    np.testing.assert_allclose(np.asarray(our_vel), ref_vel, atol=2e-4)
+
+
+def test_reference_qpos_to_smpl_parity():
+    """ops.geometry.qpos_to_smpl vs the reference's qpos_to_smpl_data
+    (process_kinpoly_qpos2smpl.py:57-93): ZYX-euler -> axis-angle with the
+    mujoco->smpl joint permutation; rotations compared as matrices (the
+    axis-angle chart is ambiguous only at the 2-pi wrap)."""
+    from egoego_release_tpu.ops import geometry as G
+
+    ref_mod = reforacle.import_reference("utils.data_utils.process_kinpoly_qpos2smpl")
+    rng = np.random.RandomState(31)
+    t = 8
+    qpos = np.zeros((t, 76), np.float32)
+    qpos[:, :3] = rng.uniform(-1, 1, (t, 3))
+    qpos[:, 3:7] = ScipyRot.random(t, random_state=rng).as_quat()[:, [3, 0, 1, 2]]
+    qpos[:, 7:] = rng.uniform(-1.2, 1.2, (t, 69))
+
+    ref_trans, ref_poses72 = ref_mod.qpos_to_smpl_data(torch.from_numpy(qpos))
+    our_trans, our_aa24 = G.qpos_to_smpl(jnp.asarray(qpos))
+
+    np.testing.assert_allclose(np.asarray(our_trans), ref_trans.numpy(), atol=1e-6)
+    ref_aa = ref_poses72.numpy().reshape(t, 24, 3).reshape(-1, 3)
+    our_aa = np.asarray(our_aa24, np.float64).reshape(-1, 3)
+    np.testing.assert_allclose(
+        ScipyRot.from_rotvec(our_aa).as_matrix(),
+        ScipyRot.from_rotvec(ref_aa).as_matrix(),
+        atol=1e-5,
+    )
