@@ -1,0 +1,138 @@
+"""Physics env on modern MuJoCo 3: MJCF conversion, FK parity against the
+real simulator, and PD/RFC behavior."""
+
+import numpy as np
+import pytest
+
+mujoco = pytest.importorskip("mujoco")
+
+import jax.numpy as jnp
+
+XML = "/root/reference/kinpoly/assets/mujoco_models/humanoid_smpl_neutral_mesh.xml"
+
+UPRIGHT_QUAT = np.asarray([0.7071, 0.7071, 0.0, 0.0])  # kinpoly base_rot
+
+
+def _standing_qpos(z=0.93):
+    qpos = np.zeros(76)
+    qpos[:3] = [0.0, 0.0, z]
+    qpos[3:7] = UPRIGHT_QUAT
+    return qpos
+
+
+def test_global_mjcf_converts_and_loads():
+    from egoego_release_tpu.ops.mujoco_compat import load_humanoid_model
+
+    m = load_humanoid_model(XML)
+    assert (m.nq, m.nv, m.nu) == (76, 75, 69)
+    assert m.nbody == 25  # world + 24 humanoid bodies
+    assert 60.0 < m.body_mass.sum() < 100.0  # plausible human mass from meshes
+
+
+def test_xml_fk_matches_real_mujoco():
+    """ops/mujoco_xml.qpos_fk (the no-simulator FK used by eval) against the
+    REAL MuJoCo forward kinematics on random qpos."""
+    from egoego_release_tpu.ops.mujoco_compat import load_humanoid_model
+    from egoego_release_tpu.ops.mujoco_xml import load_mujoco_skeleton, qpos_fk
+
+    model = load_humanoid_model(XML)
+    data = mujoco.MjData(model)
+    skeleton = load_mujoco_skeleton(XML)
+
+    rng = np.random.RandomState(0)
+    for seed in range(3):
+        r = np.random.RandomState(seed)
+        qpos = np.zeros(76)
+        qpos[:3] = r.uniform(-1, 1, 3) + [0, 0, 1]
+        q = r.randn(4)
+        qpos[3:7] = q / np.linalg.norm(q)
+        qpos[7:] = r.uniform(-0.7, 0.7, 69)
+
+        data.qpos[:] = qpos
+        mujoco.mj_forward(model, data)
+        mj_pos = data.xpos[1:]     # (24, 3) world body positions
+        mj_quat = data.xquat[1:]   # (24, 4) wxyz
+
+        our_quat, our_pos = qpos_fk(skeleton, jnp.asarray(qpos[None], jnp.float32))
+        np.testing.assert_allclose(np.asarray(our_pos[0]), mj_pos, atol=2e-5)
+        # quats up to sign
+        ours = np.asarray(our_quat[0])
+        sign = np.sign(np.sum(ours * mj_quat, axis=-1, keepdims=True))
+        np.testing.assert_allclose(ours, sign * mj_quat, atol=2e-5)
+
+
+def test_pd_control_resists_gravity():
+    """With stable-PD torques holding the initial pose (plus contacts), the
+    character stays up over 0.5 s; with zero torque and no RFC it collapses.
+    This exercises the full do_simulation chain: real M/C -> compute_torque
+    -> clipping -> RFC -> mj_step."""
+    from egoego_release_tpu.rl.mujoco_env import MujocoHumanoidEnv
+
+    env = MujocoHumanoidEnv(XML, residual_force=True)
+    qpos0 = _standing_qpos()
+    target = qpos0[7:].copy()
+
+    env.reset(qpos0)
+    for _ in range(15):  # 0.5 s at 30 Hz
+        env.do_simulation(np.zeros(env.action_dim), target)
+    z_pd = env.get_qpos()[2]
+
+    # free fall: zero gains, no rfc
+    env_free = MujocoHumanoidEnv(
+        XML, residual_force=False,
+        jkp=np.zeros(69), jkd=np.zeros(69), torque_lim=np.zeros(69),
+    )
+    env_free.reset(qpos0)
+    for _ in range(15):
+        env_free.do_simulation(np.zeros(env_free.action_dim), target)
+    z_free = env_free.get_qpos()[2]
+
+    drop_pd = qpos0[2] - z_pd
+    drop_free = qpos0[2] - z_free
+    assert np.isfinite(z_pd) and np.isfinite(z_free)
+    assert drop_pd < 0.25, f"PD-held character collapsed: dropped {drop_pd:.3f} m"
+    assert drop_free > 2 * max(drop_pd, 0.02), (
+        f"free fall {drop_free:.3f} m should far exceed PD drop {drop_pd:.3f} m"
+    )
+
+
+def test_physics_state_feeds_reward_suite():
+    """Simulated state plugs into the dynamic-supervision rewards: tracking
+    the initial pose scores higher than after being shoved by a large RFC."""
+    from egoego_release_tpu.rl import rewards as R
+    from egoego_release_tpu.rl.mujoco_env import MujocoHumanoidEnv
+
+    env = MujocoHumanoidEnv(XML, residual_force=True)
+    qpos0 = _standing_qpos()
+    target = qpos0[7:].copy()
+
+    env.reset(qpos0)
+    tgt_bquat = env.get_body_quat()[None]
+    tgt_wbpos = env.get_wbody_pos()[None]
+    tgt_hpose = env.get_head_pose()[None]
+
+    def reward_now(prev_bquat):
+        ctx = R.RewardContext(
+            cur_hpose=jnp.asarray(env.get_head_pose()[None], jnp.float32),
+            tgt_hpose=jnp.asarray(tgt_hpose, jnp.float32),
+            cur_bquat=jnp.asarray(env.get_body_quat()[None], jnp.float32),
+            prev_bquat=jnp.asarray(prev_bquat, jnp.float32),
+            cur_wbpos=jnp.asarray(env.get_wbody_pos()[None], jnp.float32),
+            tgt_bquat=jnp.asarray(tgt_bquat, jnp.float32),
+            tgt_wbpos=jnp.asarray(tgt_wbpos, jnp.float32),
+        )
+        return float(R.dynamic_supervision_v4(ctx)[0][0])
+
+    prev = env.get_body_quat()[None]
+    env.do_simulation(np.zeros(env.action_dim), target)
+    r_hold = reward_now(prev)
+
+    # shove with a max residual force for 10 steps
+    shove = np.zeros(env.action_dim)
+    shove[env.ndof : env.ndof + 3] = 1e3
+    for _ in range(10):
+        env.do_simulation(shove, target)
+    r_shoved = reward_now(prev)
+
+    assert np.isfinite(r_hold) and np.isfinite(r_shoved)
+    assert r_hold > r_shoved
