@@ -1,0 +1,104 @@
+"""Physics-grounded imitation stepping (the reference's HumanoidAREnv.step).
+
+One control step of the reference loop (humanoid_ar_v1.py:554-650):
+
+  kinematic action --step_ar--> target qpos --FK--> target pose
+  control action --stable-PD + RFC + mj_step--> simulated pose
+  reward = dynamic-supervision(sim, target, AR context)
+  terminate when the simulated body diverges from the target (env_term_body)
+
+`step_ar` itself is models/trajar.step_qpos (same integration, already
+oracle-tested); the target FK is ops/mujoco_xml.qpos_fk (validated against
+real MuJoCo); dynamics are rl/mujoco_env.MujocoHumanoidEnv.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from egoego_release_tpu.ops.mujoco_xml import load_mujoco_skeleton, qpos_fk
+from egoego_release_tpu.rl import rewards as rewards_mod
+from egoego_release_tpu.rl.mujoco_env import MujocoHumanoidEnv
+
+
+class PhysicsImitation:
+    """Couples the physics env with kinematic targets + the reward suite."""
+
+    def __init__(
+        self,
+        xml_path: str,
+        reward_id: str = "dynamic_supervision_v4",
+        reward_weights: dict | None = None,
+        term_body_diff: float = 10.0,   # cc_cfg.env_term_body 'body' threshold
+        **env_kwargs,
+    ):
+        self.env = MujocoHumanoidEnv(xml_path, **env_kwargs)
+        self.skeleton = load_mujoco_skeleton(xml_path)
+        self.reward_fn = rewards_mod.REWARD_FUNCS[reward_id]
+        self.reward_weights = reward_weights
+        self.term_body_diff = term_body_diff
+        self._prev_bquat = None
+
+    def reset(self, qpos0: np.ndarray, qvel0: np.ndarray | None = None):
+        self.env.reset(qpos0, qvel0)
+        self._prev_bquat = self.env.get_body_quat()
+        return self.env.get_qpos()
+
+    def _target_pose(self, target_qpos: np.ndarray):
+        quat, pos = qpos_fk(self.skeleton, jnp.asarray(target_qpos[None], jnp.float32))
+        return np.asarray(quat[0]), np.asarray(pos[0])
+
+    def step(
+        self,
+        cc_action: np.ndarray,        # (ndof [+6],) control-policy output
+        target_qpos: np.ndarray,      # (76,) kinematic target (step_ar output)
+        ar_qpos: np.ndarray | None = None,   # raw ARNet qpos (v3 reward terms)
+        prev_target_qpos: np.ndarray | None = None,
+    ):
+        """-> (reward, done, info).  The PD tracks target_qpos[7:] through
+        frame_skip substeps; reward scores the simulated pose against the
+        target (and optionally the AR context) with the configured
+        dynamic-supervision variant."""
+        prev_bquat = self.env.get_body_quat()
+        self.env.do_simulation(cc_action, np.asarray(target_qpos[7:], np.float64))
+
+        tgt_bquat, tgt_wbpos = self._target_pose(target_qpos)
+        head_body = self.env.body_names.index("Head")
+        tgt_hpose = np.concatenate([tgt_wbpos[head_body], tgt_bquat[head_body]])
+
+        ctx_kwargs = dict(
+            cur_hpose=jnp.asarray(self.env.get_head_pose()[None], jnp.float32),
+            tgt_hpose=jnp.asarray(tgt_hpose[None], jnp.float32),
+            cur_bquat=jnp.asarray(self.env.get_body_quat()[None], jnp.float32),
+            prev_bquat=jnp.asarray(prev_bquat[None], jnp.float32),
+            cur_wbpos=jnp.asarray(self.env.get_wbody_pos()[None], jnp.float32),
+            tgt_bquat=jnp.asarray(tgt_bquat[None], jnp.float32),
+            tgt_wbpos=jnp.asarray(tgt_wbpos[None], jnp.float32),
+            tgt_qpos=jnp.asarray(target_qpos[None], jnp.float32),
+            dt=self.env.dt,
+        )
+        if ar_qpos is not None:
+            ar_bquat, _ = self._target_pose(ar_qpos)
+            prev_ar = (
+                self._target_pose(prev_target_qpos)[0]
+                if prev_target_qpos is not None else ar_bquat
+            )
+            ctx_kwargs.update(
+                ar_qpos=jnp.asarray(ar_qpos[None], jnp.float32),
+                ar_bquat=jnp.asarray(ar_bquat[None], jnp.float32),
+                ar_prev_bquat=jnp.asarray(prev_ar[None], jnp.float32),
+                gt_bquat=jnp.asarray(ar_bquat[None], jnp.float32),
+                gt_prev_bquat=jnp.asarray(prev_ar[None], jnp.float32),
+            )
+        reward, components = self.reward_fn(
+            rewards_mod.RewardContext(**ctx_kwargs), self.reward_weights
+        )
+
+        # env_term_body='body': simulated body diverged from the target
+        body_diff = float(
+            np.linalg.norm(self.env.get_wbody_pos() - tgt_wbpos, axis=1).sum()
+        )
+        done = body_diff > self.term_body_diff
+        info = {"body_diff": body_diff, "components": np.asarray(components[0])}
+        return float(reward[0]), done, info

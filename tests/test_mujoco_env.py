@@ -136,3 +136,48 @@ def test_physics_state_feeds_reward_suite():
 
     assert np.isfinite(r_hold) and np.isfinite(r_shoved)
     assert r_hold > r_shoved
+
+
+def test_physics_imitation_step_and_termination():
+    """PhysicsImitation (the step_ar -> PD -> reward -> fail_safe loop):
+    tracking a standing target keeps reward high and done=False; a massive
+    shove diverges the body and triggers the env_term_body termination."""
+    from egoego_release_tpu.rl.imitation import PhysicsImitation
+
+    sess = PhysicsImitation(XML, reward_id="dynamic_supervision_v4",
+                            term_body_diff=6.0)
+    qpos0 = _standing_qpos()
+    sess.reset(qpos0)
+
+    rewards = []
+    for _ in range(10):
+        r, done, info = sess.step(np.zeros(sess.env.action_dim), qpos0)
+        rewards.append(r)
+        assert not done, f"standing tracking terminated early: {info}"
+    assert np.isfinite(rewards).all()
+    assert np.mean(rewards) > 2.0  # v4 additive: hp+hq+p+jp near their max ~4
+
+    # shove until the body diverges from the target
+    shove = np.zeros(sess.env.action_dim)
+    shove[sess.env.ndof:sess.env.ndof + 3] = 1e3
+    done = False
+    for _ in range(40):
+        r, done, info = sess.step(shove, qpos0)
+        if done:
+            break
+    assert done, f"expected termination after shoving; body_diff={info['body_diff']}"
+    assert info["body_diff"] > 6.0
+
+
+def test_physics_imitation_v3_with_ar_context():
+    from egoego_release_tpu.rl.imitation import PhysicsImitation
+
+    sess = PhysicsImitation(XML, reward_id="dynamic_supervision_v3")
+    qpos0 = _standing_qpos()
+    sess.reset(qpos0)
+    r, done, info = sess.step(
+        np.zeros(sess.env.action_dim), qpos0, ar_qpos=qpos0,
+        prev_target_qpos=qpos0,
+    )
+    assert np.isfinite(r) and 0.0 < r <= 1.0  # multiplicative product of exps
+    assert info["components"].shape == (8,)
