@@ -1,0 +1,187 @@
+"""PPO training over the PHYSICS imitation env (host rollouts).
+
+The reference trains its control policies by farming MuJoCo rollouts to CPU
+multiprocessing workers and updating with PPO
+(copycat/khrylib/rl/agents/{agent,agent_ppo}.py, relive/core/agent_ar.py).
+MuJoCo has no TPU backend, so this trainer mirrors that split: rollouts run
+host-side against rl/imitation.PhysicsImitation, while the policy/value
+updates reuse the same jitted JAX math as the kinematic-path PPO
+(rl/ppo.GaussianPolicy / ValueNet / gae_advantages / clipped objective).
+
+  python -m egoego_release_tpu.rl.train_physics_agent \
+      --xml kinpoly/assets/mujoco_models/humanoid_smpl_neutral_mesh.xml \
+      --expert_path mocap_annotations.p [--iters 100]
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from egoego_release_tpu.rl.imitation import PhysicsImitation
+from egoego_release_tpu.rl.ppo import (
+    GaussianPolicy,
+    ValueNet,
+    gae_advantages,
+    gaussian_logprob,
+)
+from egoego_release_tpu.rl.trpo import ZFilter
+
+
+class PhysicsPPO:
+    """Host-rollout PPO over PhysicsImitation.
+
+    Observation = the env's proprioceptive state + target differences
+    (heading-free qpos, qvel, target joint offsets), matching the spirit of
+    the UHC cc_obs (humanoid_im.py get_full_obs); the exact v1/v2 obs
+    variants are config details of the pretrained UHC checkpoints, which are
+    not redistributable.
+    """
+
+    def __init__(self, sess: PhysicsImitation, hsize=(256, 128),
+                 gamma=0.95, lam=0.95, clip_eps=0.2,
+                 policy_lr=5e-5, value_lr=3e-4, epochs=5):
+        self.sess = sess
+        ndof = sess.env.ndof
+        self.obs_dim = (sess.env.model.nq - 2) + sess.env.nv + ndof
+        self.action_dim = sess.env.action_dim
+        self.gamma, self.lam, self.clip_eps, self.epochs = gamma, lam, clip_eps, epochs
+        self.policy = GaussianPolicy(self.action_dim, hsize)
+        self.value = ValueNet(hsize)
+        self.p_opt = optax.adam(policy_lr)
+        self.v_opt = optax.adam(value_lr)
+        self.zfilter = ZFilter.init(self.obs_dim)
+        self._update = jax.jit(self._update_impl)
+
+    def obs(self, target_qpos: np.ndarray) -> np.ndarray:
+        qpos = self.sess.env.get_qpos()
+        qvel = self.sess.env.get_qvel()
+        return np.concatenate(
+            [qpos[2:], qvel, target_qpos[7:] - qpos[7:]]
+        ).astype(np.float32)
+
+    def init_state(self, key):
+        obs0 = jnp.zeros((1, self.obs_dim))
+        kp, kv = jax.random.split(key)
+        p = self.policy.init(kp, obs0)
+        v = self.value.init(kv, obs0)
+        return {"policy": p, "value": v,
+                "p_opt": self.p_opt.init(p), "v_opt": self.v_opt.init(v)}
+
+    def collect(self, state, key, qpos0: np.ndarray, targets: np.ndarray,
+                horizon: int):
+        """One host rollout tracking a (T, 76) kinematic target sequence."""
+        self.sess.reset(qpos0)
+        obs_l, act_l, logp_l, val_l, rew_l, done_l = [], [], [], [], [], []
+        for t in range(horizon):
+            target = targets[min(t, len(targets) - 1)]
+            o = ZFilter.apply(self.zfilter, self.obs(target))
+            self.zfilter = ZFilter.update(self.zfilter, np.asarray(o)[None])
+            key, ka = jax.random.split(key)
+            mean, log_std = self.policy.apply(state["policy"], jnp.asarray(o)[None])
+            a = np.asarray(
+                mean + jnp.exp(log_std) * jax.random.normal(ka, mean.shape)
+            )[0]
+            logp = float(gaussian_logprob(mean, log_std, jnp.asarray(a)[None])[0])
+            val = float(self.value.apply(state["value"], jnp.asarray(o)[None])[0])
+            r, done, _ = self.sess.step(a, target)
+            obs_l.append(np.asarray(o)); act_l.append(a)
+            logp_l.append(logp); val_l.append(val)
+            rew_l.append(r); done_l.append(done)
+            if done:
+                break
+        last_o = ZFilter.apply(self.zfilter, self.obs(targets[-1]))
+        last_val = float(self.value.apply(state["value"], jnp.asarray(last_o)[None])[0])
+        return key, {
+            "obs": np.stack(obs_l), "actions": np.stack(act_l),
+            "logps": np.asarray(logp_l, np.float32),
+            "values": np.asarray(val_l, np.float32),
+            "rewards": np.asarray(rew_l, np.float32),
+            "dones": np.asarray(done_l),
+            "last_value": last_val,
+        }
+
+    def _update_impl(self, state, batch):
+        advs, returns = gae_advantages(
+            batch["rewards"][:, None], batch["values"][:, None],
+            batch["last_value"][None], batch["dones"][:, None],
+            self.gamma, self.lam,
+        )
+        advs = (advs - advs.mean()) / (advs.std() + 1e-8)
+        obs, act = batch["obs"], batch["actions"]
+        logp_old, adv_f, ret_f = batch["logps"], advs[:, 0], returns[:, 0]
+
+        def policy_loss(p):
+            mean, log_std = self.policy.apply(p, obs)
+            ratio = jnp.exp(gaussian_logprob(mean, log_std, act) - logp_old)
+            clipped = jnp.clip(ratio, 1 - self.clip_eps, 1 + self.clip_eps)
+            return -jnp.mean(jnp.minimum(ratio * adv_f, clipped * adv_f))
+
+        def value_loss(p):
+            return jnp.mean((self.value.apply(p, obs) - ret_f) ** 2)
+
+        def epoch(carry, _):
+            pp, vp, po, vo = carry
+            pl, pg = jax.value_and_grad(policy_loss)(pp)
+            pu, po = self.p_opt.update(pg, po, pp)
+            pp = optax.apply_updates(pp, pu)
+            vl, vg = jax.value_and_grad(value_loss)(vp)
+            vu, vo = self.v_opt.update(vg, vo, vp)
+            vp = optax.apply_updates(vp, vu)
+            return (pp, vp, po, vo), (pl, vl)
+
+        (pp, vp, po, vo), losses = jax.lax.scan(
+            epoch, (state["policy"], state["value"], state["p_opt"], state["v_opt"]),
+            None, length=self.epochs,
+        )
+        return (
+            {"policy": pp, "value": vp, "p_opt": po, "v_opt": vo},
+            {"policy_loss": losses[0][-1], "value_loss": losses[1][-1]},
+        )
+
+    def iterate(self, state, key, qpos0, targets, horizon: int):
+        key, batch = self.collect(state, key, qpos0, targets, horizon)
+        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        new_state, losses = self._update(state, jb)
+        metrics = {
+            "reward_mean": float(batch["rewards"].mean()),
+            "episode_len": len(batch["rewards"]),
+            **{k: float(v) for k, v in losses.items()},
+        }
+        return new_state, key, metrics
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--xml", required=True)
+    p.add_argument("--expert_path", required=True)
+    p.add_argument("--iters", type=int, default=100)
+    p.add_argument("--horizon", type=int, default=90)
+    p.add_argument("--reward_id", default="dynamic_supervision_v4")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    from egoego_release_tpu.data.kinpoly import StateARDataset
+
+    sess = PhysicsImitation(args.xml, reward_id=args.reward_id)
+    agent = PhysicsPPO(sess)
+    ds = StateARDataset(args.expert_path, fr_num=args.horizon, train=True,
+                        seed=args.seed)
+    key = jax.random.PRNGKey(args.seed)
+    key, k0 = jax.random.split(key)
+    state = agent.init_state(k0)
+    for it in range(args.iters):
+        rec = ds.sample_seq()
+        state, key, m = agent.iterate(
+            state, key, rec["qpos"][0], rec["qpos"], args.horizon
+        )
+        print(f"iter {it}: reward {m['reward_mean']:.4f} len {m['episode_len']} "
+              f"ploss {m['policy_loss']:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -181,3 +181,29 @@ def test_physics_imitation_v3_with_ar_context():
     )
     assert np.isfinite(r) and 0.0 < r <= 1.0  # multiplicative product of exps
     assert info["components"].shape == (8,)
+
+
+def test_physics_ppo_smoke():
+    """PhysicsPPO plumbing: host rollout -> GAE -> clipped updates produce
+    finite losses and move the policy (a convergence run is a training job,
+    not a unit test)."""
+    import jax
+
+    from egoego_release_tpu.rl.imitation import PhysicsImitation
+    from egoego_release_tpu.rl.train_physics_agent import PhysicsPPO
+
+    sess = PhysicsImitation(XML, reward_id="dynamic_supervision_v4")
+    agent = PhysicsPPO(sess, hsize=(32, 16), epochs=2)
+    key = jax.random.PRNGKey(0)
+    key, k0 = jax.random.split(key)
+    state = agent.init_state(k0)
+    before = np.asarray(state["policy"]["params"]["fc"]["kernel"]).copy()
+
+    qpos0 = _standing_qpos()
+    targets = np.tile(qpos0, (8, 1))
+    for _ in range(2):
+        state, key, m = agent.iterate(state, key, qpos0, targets, horizon=8)
+        assert np.isfinite(m["reward_mean"]) and np.isfinite(m["policy_loss"])
+        assert m["episode_len"] >= 1
+    after = np.asarray(state["policy"]["params"]["fc"]["kernel"])
+    assert np.abs(before - after).max() > 0
