@@ -896,3 +896,137 @@ def test_reference_qpos_to_smpl_parity():
         ScipyRot.from_rotvec(ref_aa).as_matrix(),
         atol=1e-5,
     )
+
+
+# ---------------------------------------------------------------------------
+# qpos metric suite vs the reference's compute_metrics on REAL MuJoCo FK
+# ---------------------------------------------------------------------------
+
+def _load_reference_qpos_metric_fns():
+    """AST-extract compute_metrics + compute_physcis_metris + the qpos-space
+    foot sliding (eval_metrics_imu_rec.py:123-221,344-398) and exec them with
+    an env shim backed by REAL MuJoCo 3 (the original builds a mujoco-py env
+    at import)."""
+    import ast
+
+    mujoco = pytest.importorskip("mujoco")
+    reforacle.add_reference_paths()
+    import sys as _sys
+
+    if "/root/reference/kinpoly" not in _sys.path:
+        _sys.path.insert(0, "/root/reference/kinpoly")
+    import relive.utils.metrics as ref_metrics
+
+    from egoego_release_tpu.ops.mujoco_compat import load_humanoid_model
+
+    model = load_humanoid_model(
+        "/root/reference/kinpoly/assets/mujoco_models/humanoid_smpl_neutral_mesh.xml"
+    )
+    data = mujoco.MjData(model)
+
+    name2id = {
+        mujoco.mj_id2name(model, mujoco.mjtObj.mjOBJ_BODY, i): i
+        for i in range(model.nbody)
+    }
+
+    class _DataShim:
+        """mujoco-py field names over a modern MjData."""
+
+        def __init__(self, d):
+            self._d = d
+
+        @property
+        def qpos(self):
+            return self._d.qpos
+
+        @property
+        def body_xpos(self):
+            return self._d.xpos
+
+        @property
+        def body_xquat(self):
+            return self._d.xquat
+
+    _Shim = SimpleNamespace(
+        qpos_lim=76,
+        model=SimpleNamespace(_body_name2id=name2id),
+        sim=SimpleNamespace(forward=lambda: mujoco.mj_forward(model, data)),
+        data=_DataShim(data),
+        reset=lambda: mujoco.mj_resetData(model, data),
+        get_wbody_pos=lambda: data.xpos[1:].flatten().copy(),
+    )
+
+    src = open("/root/reference/kinpoly/scripts/eval_metrics_imu_rec.py").read()
+    tree = ast.parse(src)
+    wanted = {
+        "compute_metrics", "compute_physcis_metris", "get_body_part",
+        "compute_foot_sliding", "compute_accel", "compute_error_accel",
+        "compute_vel", "compute_error_vel",
+    }
+    module = ast.Module(
+        body=[n for n in tree.body
+              if isinstance(n, ast.FunctionDef) and n.name in wanted],
+        type_ignores=[],
+    )
+    from collections import defaultdict
+
+    ns = {
+        "np": np, "defaultdict": defaultdict, "tqdm": lambda x: x,
+        "env": _Shim,
+        "get_joint_vels": ref_metrics.get_joint_vels,
+        "get_joint_accels": ref_metrics.get_joint_accels,
+        "get_root_matrix": ref_metrics.get_root_matrix,
+        "get_frobenious_norm": ref_metrics.get_frobenious_norm,
+        "get_frobenious_norm_rot_only": ref_metrics.get_frobenious_norm_rot_only,
+        "get_mean_dist": ref_metrics.get_mean_dist,
+        "get_mean_abs": ref_metrics.get_mean_abs,
+    }
+    exec(compile(module, "<reference qpos metrics>", "exec"), ns)
+    return ns
+
+
+def test_reference_qpos_metrics_parity():
+    """eval/qpos_metrics.compute_metrics_for_qpos_records against the
+    reference's own compute_metrics (FK through real MuJoCo) on random
+    qpos takes — every aggregated key."""
+    from egoego_release_tpu.eval.qpos_metrics import compute_metrics_for_qpos_records
+    from egoego_release_tpu.ops.mujoco_xml import load_mujoco_skeleton
+
+    ref = _load_reference_qpos_metric_fns()
+    skeleton = load_mujoco_skeleton(
+        "/root/reference/kinpoly/assets/mujoco_models/humanoid_smpl_neutral_mesh.xml"
+    )
+
+    def take(seed, t=10):
+        r = np.random.RandomState(seed)
+        def traj():
+            qpos = np.zeros((t, 76))
+            qpos[:, :2] = np.cumsum(r.uniform(-0.02, 0.02, (t, 2)), 0)
+            qpos[:, 2] = 0.92 + r.uniform(-0.01, 0.01, t)
+            base = ScipyRot.from_quat([0.7071, 0, 0, 0.7071])  # xyzw upright
+            qs = []
+            for _ in range(t):
+                base = ScipyRot.from_rotvec(r.uniform(-0.02, 0.02, 3)) * base
+                qs.append(base.as_quat()[[3, 0, 1, 2]])
+            qpos[:, 3:7] = qs
+            qpos[:, 7:] = r.uniform(-0.3, 0.3, (t, 69)) \
+                + np.cumsum(r.uniform(-0.02, 0.02, (t, 69)), 0)
+            return qpos
+        qpos_gt = traj()
+        qpos_pred = qpos_gt + r.uniform(-0.03, 0.03, qpos_gt.shape)
+        qpos_pred[:, 3:7] /= np.linalg.norm(qpos_pred[:, 3:7], axis=1)[:, None]
+        # GT head pose from the reference's own FK shim
+        _, _, head_pose_gt = ref["compute_physcis_metris"](qpos_gt)
+        return {"qpos": qpos_pred, "qpos_gt": qpos_gt,
+                "head_pose_gt": head_pose_gt}
+
+    results = {"take_a": take(0), "take_b": take(1)}
+    ref_md = ref["compute_metrics"](results, "statear")
+    our_md = compute_metrics_for_qpos_records(results, skeleton)
+
+    for key, ref_val in ref_md.items():
+        assert key in our_md, f"missing qpos metric {key}"
+        np.testing.assert_allclose(
+            np.mean(np.asarray(our_md[key])), np.asarray(ref_val),
+            rtol=5e-4, atol=5e-4, err_msg=key,
+        )
