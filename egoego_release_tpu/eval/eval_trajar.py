@@ -29,11 +29,12 @@ from egoego_release_tpu.ops import fk as fk_mod
 from egoego_release_tpu.ops import geometry
 
 
-def eval_record(model, params, rec: dict, rest_offsets) -> dict:
+def eval_record(model, params, rec: dict, rest_offsets, return_qpos: bool = False):
     data = {k: jnp.asarray(rec[k][None]) for k in
             ("head_pose", "head_vels", "obj_pose", "obj_head_relative_poses")}
     gt_qpos = jnp.asarray(rec["qpos"])
     out = model.apply(params, data, init_qpos=gt_qpos[:1])
+    pred_qpos = np.asarray(out["qpos"][0])
 
     def fk(qpos):
         trans, aa24 = geometry.qpos_to_smpl(qpos)
@@ -44,13 +45,14 @@ def eval_record(model, params, rec: dict, rest_offsets) -> dict:
     if not np.isfinite(np.asarray(pred_p)).all():
         # an untrained/underfit policy can diverge through the qpos feedback
         # loop (the reference's rollout would too); report it instead of NaNs
-        return {"diverged": 1.0}
+        out_d = {"diverged": 1.0}
+        return (out_d, pred_qpos) if return_qpos else out_d
     md = metrics_mod.compute_metrics_for_smpl(
         gt_q, gt_p, jnp.float32(0.0), pred_q, pred_p, jnp.float32(0.0)
     )
     out_d = {k: float(np.mean(v)) for k, v in md.items() if k != "single_jpe"}
     out_d["diverged"] = 0.0
-    return out_d
+    return (out_d, pred_qpos) if return_qpos else out_d
 
 
 def run(opt) -> dict:
@@ -58,6 +60,8 @@ def run(opt) -> dict:
 
     rest = load_rest_offsets(opt.smplh_path, opt.rest_offsets)
     ds = StateARDataset(opt.expert_path, fr_num=opt.fr_num, train=False)
+
+    qpos_records = {} if opt.mujoco_xml else None
 
     rest_t = tuple(map(tuple, np.asarray(rest).tolist()))
     model = TrajARNet(rnn_hdim=opt.rnn_hdim, mlp_hsize=(1024, 512), rest_offsets=rest_t)
@@ -77,10 +81,14 @@ def run(opt) -> dict:
     per_seq = {}
     for i in range(len(ds)):
         rec = ds.sample_seq(i)
-        md = eval_record(model, params, rec, rest)
+        md, pred_qpos = eval_record(model, params, rec, rest, return_qpos=True)
         per_seq[rec["seq_name"]] = md
         for k, v in md.items():
             agg.setdefault(k, []).append(v)
+        if qpos_records is not None and not md.get("diverged"):
+            qpos_records[rec["seq_name"]] = {
+                "qpos": pred_qpos, "qpos_gt": np.asarray(rec["qpos"]),
+            }
         if md.get("diverged"):
             print(f"{rec['seq_name']}: DIVERGED")
         else:
@@ -89,9 +97,30 @@ def run(opt) -> dict:
             break
 
     summary = {k: float(np.mean(v)) for k, v in agg.items()}
+    result = {"mean": summary, "per_seq": per_seq}
+
+    if qpos_records:
+        # the kinpoly qpos metric path (eval_metrics_imu_rec.compute_metrics)
+        # over the exact mujoco skeleton, reported alongside the tensor suite
+        from egoego_release_tpu.eval.qpos_metrics import (
+            _fk_take,
+            compute_metrics_for_qpos_records,
+        )
+        from egoego_release_tpu.ops.mujoco_xml import load_mujoco_skeleton
+
+        skeleton = load_mujoco_skeleton(opt.mujoco_xml)
+        for rec in qpos_records.values():
+            rec["head_pose_gt"] = _fk_take(skeleton, rec["qpos_gt"])[1]
+        qpos_md = compute_metrics_for_qpos_records(qpos_records, skeleton)
+        result["qpos_metrics"] = {
+            k: float(np.mean(v)) for k, v in qpos_md.items() if k != "single_jpe"
+        }
+        print("qpos-path mpjpe: %.2f mm, slide_pred: %.2f"
+              % (qpos_md["mpjpe"], qpos_md["slide_pred"]))
+
     os.makedirs(opt.out_dir, exist_ok=True)
     with open(os.path.join(opt.out_dir, "trajar_baseline_res.json"), "w") as f:
-        json.dump({"mean": summary, "per_seq": per_seq}, f, indent=2)
+        json.dump(result, f, indent=2)
     print("mean:", json.dumps(summary, indent=2))
     return summary
 
@@ -105,6 +134,9 @@ def parse_opt(argv=None):
     p.add_argument("--fr_num", type=int, default=90)
     p.add_argument("--rnn_hdim", type=int, default=512)
     p.add_argument("--max_seqs", type=int, default=0)
+    p.add_argument("--mujoco_xml", default=None,
+                   help="humanoid XML; when given, also report the kinpoly "
+                        "qpos-path metric suite (eval/qpos_metrics.py)")
     p.add_argument("--out_dir", default="./results")
     return p.parse_args(argv)
 
