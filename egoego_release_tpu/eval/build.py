@@ -57,12 +57,14 @@ def build_pipeline(
     seed: int = 0,
     sampler: str = "ddpm",
     ddim_steps: int = 50,
+    timesteps: int = 1000,   # reference value; lower ONLY for smoke runs
 ) -> EgoEgoPipeline:
     stats = load_norm_stats(stats_path)
     rest_offsets = load_rest_offsets(smplh_path, rest_offsets_path)
 
     diffusion = CondGaussianDiffusion(
-        DiffusionConfig(window=window, sampler=sampler, ddim_steps=ddim_steps)
+        DiffusionConfig(window=window, sampler=sampler, ddim_steps=ddim_steps,
+                        timesteps=timesteps)
     )
     if diffusion_ckpt and os.path.isdir(diffusion_ckpt):
         # orbax checkpoint produced by training.trainer_diffusion (EMA weights)

@@ -72,6 +72,7 @@ def run(opt) -> dict:
         gravitynet_ckpt=opt.gravitynet_ckpt,
         window=opt.window,
         headnet_window=opt.headnet_window,
+        timesteps=opt.timesteps,
     )
     ds = select_dataset(opt)
     full_body_gt = load_motion_dict(opt.full_body_gt_path)
@@ -138,9 +139,22 @@ def run(opt) -> dict:
 
         # ---- stage 2 + metrics ----
         key, sk = jax.random.split(key)
-        md, _ = evaluate_sequence(
+        md, best = evaluate_sequence(
             pipeline, head_pose, gt_jrot, gt_jpos, sk, sample_bs=opt.sample_bs
         )
+        if opt.save_html_vis:
+            from egoego_release_tpu.vis.html_viewer import vis_skeleton_motion_html
+
+            os.makedirs(opt.out_dir, exist_ok=True)
+            vis_skeleton_motion_html(
+                best["pred_jpos"],
+                os.path.join(opt.out_dir, seq_name + ".html"),
+                gt_jpos=np.asarray(gt_jpos)[: best["pred_jpos"].shape[0]]
+                - np.asarray(gt_jpos[0:1, HEAD_IDX:HEAD_IDX + 1, :])
+                * np.asarray([1.0, 1.0, 0.0]),
+                head_traj=head_pose[:, :3],
+                title=seq_name,
+            )
         entry = {k: float(np.mean(v)) for k, v in md.items() if k != "single_jpe"}
         entry.update({"s1_e_head": s1_e, "s1_o_head": s1_o, "s1_t_head": s1_t})
         per_seq[seq_name] = entry
@@ -176,11 +190,16 @@ def parse_opt(argv=None):
     p.add_argument("--rest_offsets", default=None)
     p.add_argument("--window", type=int, default=120)
     p.add_argument("--headnet_window", type=int, default=60)
+    p.add_argument("--timesteps", type=int, default=1000,
+                   help="DDPM steps (1000 = reference; lower for smoke runs)")
     p.add_argument("--sample_bs", type=int, default=1)
     p.add_argument("--max_seqs", type=int, default=0)
     p.add_argument("--test_on_ares", action="store_true")
     p.add_argument("--test_on_gimo", action="store_true")
     p.add_argument("--use_gt_head_pose", action="store_true")
+    p.add_argument("--save_html_vis", action="store_true",
+                   help="write an interactive HTML pred-vs-GT skeleton "
+                        "animation per sequence")
     p.add_argument("--mujoco_xml", default=None,
                    help="humanoid XML for exact kinpoly-skeleton GT decoding")
     p.add_argument("--out_dir", default="./results")
