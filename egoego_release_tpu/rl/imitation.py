@@ -33,12 +33,20 @@ class PhysicsImitation:
         term_body_diff: float = 10.0,   # cc_cfg.env_term_body 'body' threshold
         **env_kwargs,
     ):
+        self._ctor_args = dict(xml_path=xml_path, reward_id=reward_id,
+                               reward_weights=reward_weights,
+                               term_body_diff=term_body_diff, **env_kwargs)
         self.env = MujocoHumanoidEnv(xml_path, **env_kwargs)
         self.skeleton = load_mujoco_skeleton(xml_path)
         self.reward_fn = rewards_mod.REWARD_FUNCS[reward_id]
         self.reward_weights = reward_weights
         self.term_body_diff = term_body_diff
         self._prev_bquat = None
+
+    def clone(self) -> "PhysicsImitation":
+        """Fresh env instance with the same configuration — one per rollout
+        worker (MjData is not shareable across threads)."""
+        return PhysicsImitation(**self._ctor_args)
 
     def reset(self, qpos0: np.ndarray, qvel0: np.ndarray | None = None):
         self.env.reset(qpos0, qvel0)

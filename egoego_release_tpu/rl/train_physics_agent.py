@@ -56,10 +56,12 @@ class PhysicsPPO:
         self.v_opt = optax.adam(value_lr)
         self.zfilter = ZFilter.init(self.obs_dim)
         self._update = jax.jit(self._update_impl)
+        self._flat_update = jax.jit(self._flat_update_impl)
 
-    def obs(self, target_qpos: np.ndarray) -> np.ndarray:
-        qpos = self.sess.env.get_qpos()
-        qvel = self.sess.env.get_qvel()
+    def obs(self, target_qpos: np.ndarray, sess=None) -> np.ndarray:
+        sess = sess or self.sess
+        qpos = sess.env.get_qpos()
+        qvel = sess.env.get_qvel()
         return np.concatenate(
             [qpos[2:], qvel, target_qpos[7:] - qpos[7:]]
         ).astype(np.float32)
@@ -73,14 +75,21 @@ class PhysicsPPO:
                 "p_opt": self.p_opt.init(p), "v_opt": self.v_opt.init(v)}
 
     def collect(self, state, key, qpos0: np.ndarray, targets: np.ndarray,
-                horizon: int):
-        """One host rollout tracking a (T, 76) kinematic target sequence."""
-        self.sess.reset(qpos0)
-        obs_l, act_l, logp_l, val_l, rew_l, done_l = [], [], [], [], [], []
+                horizon: int, sess=None):
+        """One host rollout tracking a (T, 76) kinematic target sequence.
+
+        The observation filter is applied as a per-iteration SNAPSHOT (the
+        caller batch-updates it with the raw observations afterwards), so
+        concurrent rollouts see consistent normalization.
+        """
+        sess = sess or self.sess
+        zf = self.zfilter
+        sess.reset(qpos0)
+        raw_l, obs_l, act_l, logp_l, val_l, rew_l, done_l = [], [], [], [], [], [], []
         for t in range(horizon):
             target = targets[min(t, len(targets) - 1)]
-            o = ZFilter.apply(self.zfilter, self.obs(target))
-            self.zfilter = ZFilter.update(self.zfilter, np.asarray(o)[None])
+            raw = self.obs(target, sess)
+            o = ZFilter.apply(zf, raw)
             key, ka = jax.random.split(key)
             mean, log_std = self.policy.apply(state["policy"], jnp.asarray(o)[None])
             a = np.asarray(
@@ -88,15 +97,16 @@ class PhysicsPPO:
             )[0]
             logp = float(gaussian_logprob(mean, log_std, jnp.asarray(a)[None])[0])
             val = float(self.value.apply(state["value"], jnp.asarray(o)[None])[0])
-            r, done, _ = self.sess.step(a, target)
-            obs_l.append(np.asarray(o)); act_l.append(a)
+            r, done, _ = sess.step(a, target)
+            raw_l.append(raw); obs_l.append(np.asarray(o)); act_l.append(a)
             logp_l.append(logp); val_l.append(val)
             rew_l.append(r); done_l.append(done)
             if done:
                 break
-        last_o = ZFilter.apply(self.zfilter, self.obs(targets[-1]))
+        last_o = ZFilter.apply(zf, self.obs(targets[-1], sess))
         last_val = float(self.value.apply(state["value"], jnp.asarray(last_o)[None])[0])
         return key, {
+            "raw_obs": np.stack(raw_l),
             "obs": np.stack(obs_l), "actions": np.stack(act_l),
             "logps": np.asarray(logp_l, np.float32),
             "values": np.asarray(val_l, np.float32),
@@ -112,9 +122,12 @@ class PhysicsPPO:
             self.gamma, self.lam,
         )
         advs = (advs - advs.mean()) / (advs.std() + 1e-8)
-        obs, act = batch["obs"], batch["actions"]
-        logp_old, adv_f, ret_f = batch["logps"], advs[:, 0], returns[:, 0]
+        return self._flat_update_impl(
+            state, batch["obs"], batch["actions"], batch["logps"],
+            advs[:, 0], returns[:, 0],
+        )
 
+    def _flat_update_impl(self, state, obs, act, logp_old, adv_f, ret_f):
         def policy_loss(p):
             mean, log_std = self.policy.apply(p, obs)
             ratio = jnp.exp(gaussian_logprob(mean, log_std, act) - logp_old)
@@ -145,11 +158,69 @@ class PhysicsPPO:
 
     def iterate(self, state, key, qpos0, targets, horizon: int):
         key, batch = self.collect(state, key, qpos0, targets, horizon)
-        jb = {k: jnp.asarray(v) for k, v in batch.items()}
+        self.zfilter = ZFilter.update(self.zfilter, batch["raw_obs"])
+        jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "raw_obs"}
         new_state, losses = self._update(state, jb)
         metrics = {
             "reward_mean": float(batch["rewards"].mean()),
             "episode_len": len(batch["rewards"]),
+            **{k: float(v) for k, v in losses.items()},
+        }
+        return new_state, key, metrics
+
+    def iterate_parallel(self, state, key, tasks, horizon: int,
+                         num_threads: int = 4):
+        """One PPO iteration over several rollouts collected concurrently —
+        the reference's multiprocess `agent.sample`
+        (copycat/khrylib/rl/agents/agent.py:107-131) as threads: MuJoCo
+        stepping releases the GIL, each worker gets its own env clone, and
+        the policy/value/ZFilter are read-only snapshots during collection.
+
+        tasks: list of (qpos0, targets) tuples.
+        """
+        import concurrent.futures as cf
+
+        sessions = [self.sess] + [self.sess.clone() for _ in range(len(tasks) - 1)]
+        keys = jax.random.split(key, len(tasks) + 1)
+        key = keys[0]
+
+        def roll(i):
+            qpos0, targets = tasks[i]
+            _, batch = self.collect(state, keys[i + 1], qpos0, targets,
+                                    horizon, sess=sessions[i])
+            return batch
+
+        with cf.ThreadPoolExecutor(max_workers=num_threads) as ex:
+            batches = list(ex.map(roll, range(len(tasks))))
+
+        # batch-update the obs filter once, from all raw observations
+        self.zfilter = ZFilter.update(
+            self.zfilter, np.concatenate([b["raw_obs"] for b in batches])
+        )
+        # per-rollout GAE, then one flat clipped update over everything
+        obs_l, act_l, logp_l, adv_l, ret_l = [], [], [], [], []
+        for b in batches:
+            advs, returns = gae_advantages(
+                jnp.asarray(b["rewards"][:, None]), jnp.asarray(b["values"][:, None]),
+                jnp.asarray(b["last_value"])[None], jnp.asarray(b["dones"][:, None]),
+                self.gamma, self.lam,
+            )
+            obs_l.append(b["obs"]); act_l.append(b["actions"])
+            logp_l.append(b["logps"])
+            adv_l.append(np.asarray(advs[:, 0])); ret_l.append(np.asarray(returns[:, 0]))
+        adv = np.concatenate(adv_l)
+        adv = (adv - adv.mean()) / (adv.std() + 1e-8)
+        new_state, losses = self._flat_update(
+            state, jnp.asarray(np.concatenate(obs_l)),
+            jnp.asarray(np.concatenate(act_l)),
+            jnp.asarray(np.concatenate(logp_l)),
+            jnp.asarray(adv), jnp.asarray(np.concatenate(ret_l)),
+        )
+        rewards = np.concatenate([b["rewards"] for b in batches])
+        metrics = {
+            "reward_mean": float(rewards.mean()),
+            "num_rollouts": len(batches),
+            "total_steps": int(rewards.shape[0]),
             **{k: float(v) for k, v in losses.items()},
         }
         return new_state, key, metrics

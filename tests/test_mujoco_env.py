@@ -207,3 +207,28 @@ def test_physics_ppo_smoke():
         assert m["episode_len"] >= 1
     after = np.asarray(state["policy"]["params"]["fc"]["kernel"])
     assert np.abs(before - after).max() > 0
+
+
+def test_physics_ppo_parallel_rollouts():
+    """iterate_parallel (the multiprocess-sampler analog): several rollouts
+    collected on cloned envs aggregate into one update with finite losses."""
+    import jax
+
+    from egoego_release_tpu.rl.imitation import PhysicsImitation
+    from egoego_release_tpu.rl.train_physics_agent import PhysicsPPO
+
+    sess = PhysicsImitation(XML, reward_id="dynamic_supervision_v4")
+    agent = PhysicsPPO(sess, hsize=(32, 16), epochs=2)
+    key = jax.random.PRNGKey(0)
+    key, k0 = jax.random.split(key)
+    state = agent.init_state(k0)
+
+    qpos0 = _standing_qpos()
+    tasks = [(qpos0, np.tile(qpos0, (6, 1))) for _ in range(3)]
+    state, key, m = agent.iterate_parallel(state, key, tasks, horizon=6,
+                                           num_threads=2)
+    assert m["num_rollouts"] == 3
+    assert m["total_steps"] >= 3
+    assert np.isfinite(m["reward_mean"]) and np.isfinite(m["policy_loss"])
+    # obs filter stats updated from RAW observations (count == total steps)
+    assert float(agent.zfilter["count"]) == m["total_steps"]
