@@ -259,12 +259,17 @@ class CondGaussianDiffusion:
         num_steps: int = 50,
         eta: float = 0.0,
         padding_mask: Array | None = None,
+        inpaint_value: Array | None = None,  # (B, T, D) values forced in
+        inpaint_mask: Array | None = None,   # (B, T, 1) 1 = force
     ) -> Array:
         """DDIM sampling (Song et al. 2021) — an OPTIONAL fast sampler the
         reference does not have: the same trained pred-x0 denoiser driven
         over a strided subset of the 1000 timesteps.  num_steps=50 is ~20x
         fewer denoiser calls than the reference's DDPM chain; eta=0 is the
-        deterministic variant."""
+        deterministic variant.  Supports the same per-step overlap
+        inpainting hook as the DDPM chain (the window-chain semantics of
+        transformer_cond_diffusion_model.py:395-397 applied to the strided
+        schedule)."""
         bs = x_start.shape[0]
         c = self.consts
         k_init, k_cond, k_loop = jax.random.split(key, 3)
@@ -296,6 +301,8 @@ class CondGaussianDiffusion:
             dir_xt = jnp.sqrt(jnp.maximum(1.0 - ac_prev - sigma**2, 0.0)) * eps
             noise = jax.random.normal(sk, x.shape, x.dtype)
             x = jnp.sqrt(ac_prev) * x0 + dir_xt + sigma * noise
+            if inpaint_value is not None:
+                x = jnp.where(inpaint_mask > 0, inpaint_value, x)
             return (x, k), None
 
         (x, _), _ = jax.lax.scan(step, (x, k_loop), (ts, ts_prev))
@@ -381,16 +388,21 @@ class CondGaussianDiffusion:
         x_start, recover = self._canonicalize_window(head_jpos, head_jquat, stats)
         cond_mask = head_condition_mask(bs, t)
 
-        if self.cfg.sampler == "ddim" and not use_inpaint:
-            # fast mode (deviation): DDIM has no per-step inpainting hook, so
-            # it applies to chain-free windows (first window / parallel mode)
-            x = self.p_sample_loop_ddim(
-                params, key, x_start, cond_mask, num_steps=self.cfg.ddim_steps
-            )
-        elif use_inpaint:
+        if use_inpaint:
             ov = self.cfg.overlap_frames
             mask = jnp.zeros((bs, t, 1), jnp.float32).at[:, :ov].set(1.0)
             value = jnp.zeros((bs, t, D_FEATS), jnp.float32).at[:, :ov].set(inpaint_value)
+        else:
+            mask = value = None
+
+        if self.cfg.sampler == "ddim":
+            # fast mode (documented deviation: strided schedule, same
+            # per-step overlap inpainting as the DDPM chain)
+            x = self.p_sample_loop_ddim(
+                params, key, x_start, cond_mask, num_steps=self.cfg.ddim_steps,
+                inpaint_value=value, inpaint_mask=mask,
+            )
+        elif use_inpaint:
             x = self.p_sample_loop(
                 params, key, x_start, cond_mask, inpaint_value=value, inpaint_mask=mask
             )

