@@ -27,6 +27,22 @@ from egoego_release_tpu.utils.config import load_config
 from egoego_release_tpu.utils.logging import MetricLogger, profile_trace, save_run_config
 
 
+def latest_checkpoint(ckpt_dir: str) -> str | None:
+    """Newest model-<step> checkpoint in a weights dir, by step number."""
+    if not os.path.isdir(ckpt_dir):
+        return None
+    best = None
+    for name in os.listdir(ckpt_dir):
+        if name.startswith("model-"):
+            try:
+                step = int(name.split("-", 1)[1])
+            except ValueError:
+                continue
+            if best is None or step > best[0]:
+                best = (step, os.path.join(ckpt_dir, name))
+    return best[1] if best else None
+
+
 def run(cfg, train_data_path: str):
     save_dir = os.path.join(cfg.logging.save_dir, cfg.logging.exp_name)
     save_run_config(cfg, save_dir)
@@ -62,7 +78,17 @@ def run(cfg, train_data_path: str):
     )
     key = jax.random.PRNGKey(cfg.train.seed)
     key, k_init, k_data = jax.random.split(key, 3)
-    state = trainer.init_state(k_init)
+    ckpt_dir_resume = os.path.join(save_dir, "weights")
+    latest = latest_checkpoint(ckpt_dir_resume)
+    if getattr(cfg.train, "resume", True) and latest:
+        # pick the newest model-<step> like the reference's latest-by-ctime
+        # selection (trainer_amass_cond_motion_diffusion.py:233-242)
+        from egoego_release_tpu.training.trainer_diffusion import restore_state
+
+        state = restore_state(latest, trainer)
+        print(f"resumed from {latest} at step {int(state.step)}")
+    else:
+        state = trainer.init_state(k_init)
     if mesh is not None:
         from egoego_release_tpu.parallel.mesh import shard_params
 

@@ -73,6 +73,7 @@ class TrainConfig:
     lr_step_size: int = 1000     # stage-1 StepLR step (epochs)
     lr_gamma: float = 0.3
     seed: int = 0
+    resume: bool = True          # auto-resume from the newest weights ckpt
 
 
 @dataclass(frozen=True)

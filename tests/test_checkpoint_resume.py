@@ -48,3 +48,46 @@ def test_save_load_exact_resume(tmp_path):
     for a, b in zip(jax.tree.leaves(s_cont.params), jax.tree.leaves(s_res.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
     assert int(s_res.step) == 4
+
+
+def test_train_diffusion_cli_auto_resume(tmp_path):
+    """train_diffusion resumes from the newest model-<step> checkpoint in
+    the run's weights dir (preemption recovery: SIGTERM checkpoints, the
+    next launch with the same exp_name continues from the saved step)."""
+    import joblib
+
+    from egoego_release_tpu.training.train_diffusion import latest_checkpoint, run
+    from egoego_release_tpu.utils.config import load_config
+
+    rng = np.random.RandomState(0)
+    t = 50
+    rec = {
+        "trans": np.cumsum(rng.uniform(-0.01, 0.01, (t, 3)), 0).astype(np.float32),
+        "root_orient": (rng.uniform(-0.1, 0.1, (t, 3))).astype(np.float32),
+        "body_pose": rng.uniform(-0.2, 0.2, (t, 63)).astype(np.float32),
+        "seq_name": "s",
+    }
+    data_path = str(tmp_path / "train.p")
+    joblib.dump({0: rec}, data_path)
+    rest = np.concatenate([np.zeros((1, 3)), rng.uniform(-0.2, 0.2, (21, 3))])
+    rest_path = str(tmp_path / "rest.npy")
+    np.save(rest_path, rest.astype(np.float32))
+
+    overrides = [
+        "stage2.d_model=16", "stage2.n_dec_layers=1", "stage2.d_k=8",
+        "stage2.d_v=8", "stage2.timesteps=4", "data.window=40",
+        "data.batch_size=2", "data.prefetch=0", "train.num_steps=3",
+        "train.grad_accum=1", "train.save_every=3", "train.ema_step_start=0",
+        f"data.rest_offsets={rest_path}",
+        f"logging.save_dir={tmp_path / 'runs'}", "logging.exp_name=resume",
+        "logging.log_every=10",
+    ]
+    run(load_config(overrides=overrides), data_path)
+    weights = str(tmp_path / "runs" / "resume" / "weights")
+    first = latest_checkpoint(weights)
+    assert first and first.endswith("model-3")
+
+    # second launch: must resume at step 3 and continue to step 6
+    run(load_config(overrides=overrides), data_path)
+    second = latest_checkpoint(weights)
+    assert second and second.endswith("model-6")
