@@ -37,6 +37,7 @@ def run(opt) -> dict:
         window=opt.window,
         sampler="ddim" if opt.ddim_steps else "ddpm",
         ddim_steps=opt.ddim_steps or 50,
+        timesteps=opt.timesteps,
     )
     data = load_motion_dict(opt.test_data_path)
 
@@ -128,6 +129,8 @@ def parse_opt(argv=None):
     p.add_argument("--smplh_path", default=None)
     p.add_argument("--rest_offsets", default=None)
     p.add_argument("--window", type=int, default=120)
+    p.add_argument("--timesteps", type=int, default=1000,
+                   help="DDPM steps (1000 = reference; lower for smoke runs)")
     p.add_argument("--sample_bs", type=int, default=1)
     p.add_argument("--batch_seqs", type=int, default=16,
                    help="sequences per diffusion batch (TPU-native batched eval)")
