@@ -58,6 +58,16 @@ class PhysicsPPO:
         self._update = jax.jit(self._update_impl)
         self._flat_update = jax.jit(self._flat_update_impl)
 
+        # one fused dispatch per env step (policy sample + logp + value)
+        def act_fn(state, o, ka):
+            mean, log_std = self.policy.apply(state["policy"], o[None])
+            a = mean + jnp.exp(log_std) * jax.random.normal(ka, mean.shape)
+            logp = gaussian_logprob(mean, log_std, a)[0]
+            val = self.value.apply(state["value"], o[None])[0]
+            return a[0], logp, val
+
+        self._act = jax.jit(act_fn)
+
     def obs(self, target_qpos: np.ndarray, sess=None) -> np.ndarray:
         sess = sess or self.sess
         qpos = sess.env.get_qpos()
@@ -91,12 +101,8 @@ class PhysicsPPO:
             raw = self.obs(target, sess)
             o = ZFilter.apply(zf, raw)
             key, ka = jax.random.split(key)
-            mean, log_std = self.policy.apply(state["policy"], jnp.asarray(o)[None])
-            a = np.asarray(
-                mean + jnp.exp(log_std) * jax.random.normal(ka, mean.shape)
-            )[0]
-            logp = float(gaussian_logprob(mean, log_std, jnp.asarray(a)[None])[0])
-            val = float(self.value.apply(state["value"], jnp.asarray(o)[None])[0])
+            a, logp, val = self._act(state, jnp.asarray(o), ka)
+            a, logp, val = np.asarray(a), float(logp), float(val)
             r, done, _ = sess.step(a, target)
             raw_l.append(raw); obs_l.append(np.asarray(o)); act_l.append(a)
             logp_l.append(logp); val_l.append(val)
