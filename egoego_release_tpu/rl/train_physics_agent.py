@@ -233,6 +233,11 @@ class PhysicsPPO:
 
 
 def main(argv=None):
+    # Host-physics training makes thousands of TINY jitted calls per second;
+    # under the axon TPU tunnel each one pays a network round trip, so this
+    # CLI pins jax to CPU (the policy/value MLPs are far below TPU scale —
+    # the reference's equivalents also ran on CPU workers).
+    jax.config.update("jax_platforms", "cpu")
     p = argparse.ArgumentParser()
     p.add_argument("--xml", required=True)
     p.add_argument("--expert_path", required=True)
