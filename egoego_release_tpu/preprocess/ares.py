@@ -36,6 +36,40 @@ from egoego_release_tpu.preprocess.amass import SPLIT_FRAME_LIMIT, head_features
 ARES_TEST_SCENES = ("office_0", "hotel_0", "room_2", "frl_apartment_4", "apartment_0")
 
 
+def extract_motion_for_renders(amass_processed_root: str, render_root: str,
+                               index_pkl_path: str) -> int:
+    """Attach the source AMASS motion window to each rendered sequence
+    folder as ori_motion_seq.npz (extract_amass_motion_for_ares.py:24-55):
+    the index pickle maps each rendered seq to its processed-AMASS npz path
+    plus a [start_frame_idx, start+num_frames) window.  Per-frame arrays are
+    sliced; scalars (fps/gender/betas/floor_height) pass through."""
+    import pickle
+
+    with open(index_pkl_path, "rb") as f:
+        index = pickle.load(f)
+
+    written = 0
+    for entry in index.values():
+        src = np.load(os.path.join(amass_processed_root, entry["path"]),
+                      allow_pickle=True)
+        s = int(entry["start_frame_idx"])
+        e = s + int(entry["num_frames"])
+        n_total = src["trans"].shape[0]
+        out = {}
+        for key in src.files:
+            arr = src[key]
+            if arr.ndim >= 1 and arr.shape[0] == n_total:
+                out[key] = arr[s:e]
+            else:
+                out[key] = arr
+        seq_folder = os.path.join(render_root, entry["scene_name"], entry["seq_name"])
+        os.makedirs(seq_folder, exist_ok=True)
+        np.savez(os.path.join(seq_folder, "ori_motion_seq.npz"), **out)
+        written += 1
+    print(f"extracted motion for {written} rendered sequences")
+    return written
+
+
 def process_rendered_seq(seq_folder: str, model, fps: int = 30) -> dict | None:
     """One rendered sequence folder -> motion record with of_files."""
     flow_folder = os.path.join(seq_folder, "raft_flows")
@@ -116,12 +150,32 @@ def process_root(rendered_root: str, smplh_path: str, out_folder: str,
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--rendered_root", required=True)
-    p.add_argument("--smplh_path", required=True)
-    p.add_argument("--out", required=True)
-    p.add_argument("--dataset", choices=["ares", "gimo"], default="ares")
-    args = p.parse_args(argv)
-    process_root(args.rendered_root, args.smplh_path, args.out, args.dataset)
+    sub = p.add_subparsers(dest="cmd")
+    pp = sub.add_parser("process", help="rendered seqs -> motion pickle")
+    pp.add_argument("--rendered_root", required=True)
+    pp.add_argument("--smplh_path", required=True)
+    pp.add_argument("--out", required=True)
+    pp.add_argument("--dataset", choices=["ares", "gimo"], default="ares")
+    pe = sub.add_parser(
+        "extract",
+        help="attach AMASS motion windows to rendered seq folders "
+             "(extract_amass_motion_for_ares.py)",
+    )
+    pe.add_argument("--amass_processed_root", required=True)
+    pe.add_argument("--rendered_root", required=True)
+    pe.add_argument("--index_pkl", required=True)
+    # back-compat: no subcommand = process (the original flag surface)
+    argv = argv if argv is not None else None
+    args, extra = p.parse_known_args(argv)
+    if args.cmd is None:
+        args = pp.parse_args(extra)
+        args.cmd = "process"
+    if args.cmd == "process":
+        process_root(args.rendered_root, args.smplh_path, args.out, args.dataset)
+    else:
+        extract_motion_for_renders(
+            args.amass_processed_root, args.rendered_root, args.index_pkl
+        )
 
 
 if __name__ == "__main__":

@@ -76,3 +76,47 @@ def test_amass_window_dataset_on_demo_record():
 
     batch = next(ds.batch_iterator(2, jnp.asarray([0, 1], dtype=jnp.uint32)))
     assert batch["motion"].shape == (2, 120, 198)
+
+
+def test_ares_extract_motion_windows(tmp_path):
+    """The ARES extraction step (extract_amass_motion_for_ares.py:24-55):
+    windows of processed-AMASS npz land in the rendered seq folders as
+    ori_motion_seq.npz with per-frame keys sliced and scalars intact."""
+    import pickle
+
+    from egoego_release_tpu.preprocess.ares import extract_motion_for_renders
+
+    rng = np.random.RandomState(0)
+    t = 30
+    amass_root = tmp_path / "amass"
+    (amass_root / "CMU").mkdir(parents=True)
+    np.savez(
+        amass_root / "CMU" / "seq1.npz",
+        fps=30, gender="male", floor_height=0.1,
+        trans=rng.randn(t, 3).astype(np.float32),
+        root_orient=rng.randn(t, 3).astype(np.float32),
+        pose_body=rng.randn(t, 63).astype(np.float32),
+        contacts=rng.randint(0, 2, (t, 22)).astype(np.float32),
+        joints=rng.randn(t, 22, 3).astype(np.float32),
+        betas=rng.randn(16).astype(np.float32),
+    )
+    index = {
+        0: {"scene_name": "office_0", "seq_name": "seq1_w0",
+            "path": "CMU/seq1.npz", "start_frame_idx": 5, "num_frames": 12},
+        1: {"scene_name": "office_0", "seq_name": "seq1_w1",
+            "path": "CMU/seq1.npz", "start_frame_idx": 10, "num_frames": 8},
+    }
+    idx_path = tmp_path / "index.pkl"
+    with open(idx_path, "wb") as f:
+        pickle.dump(index, f)
+
+    render_root = tmp_path / "renders"
+    n = extract_motion_for_renders(str(amass_root), str(render_root), str(idx_path))
+    assert n == 2
+
+    d = np.load(render_root / "office_0" / "seq1_w0" / "ori_motion_seq.npz")
+    assert d["trans"].shape == (12, 3)
+    assert d["pose_body"].shape == (12, 63)
+    assert d["betas"].shape == (16,)  # scalar-ish keys pass through unsliced
+    src = np.load(amass_root / "CMU" / "seq1.npz")
+    np.testing.assert_array_equal(d["trans"], src["trans"][5:17])
