@@ -65,6 +65,13 @@ class DiffusionConfig:
     compute_dtype: str = "float32"  # "bfloat16" = faster sampling (small drift)
     sampler: str = "ddpm"          # "ddim" = fast strided sampler (deviation)
     ddim_steps: int = 50
+    # Route inference denoiser forwards through the fused Pallas decoder-layer
+    # kernel (ops/fused_layer.py).  Measured AT PARITY with the XLA path at
+    # the flagship scale (1.452 vs 1.445 ms/forward, bs=64 — the forward is
+    # MXU-compute-bound at ~126 TFLOPS either way; BASELINE.md), so XLA stays
+    # the default.  Training (p_losses) always uses the flax path (dropout +
+    # gradients).
+    fused_transformer: bool = False
 
 
 class NormStats(NamedTuple):
@@ -188,9 +195,21 @@ class CondGaussianDiffusion:
 
     # -- reverse process ---------------------------------------------------
 
+    def _denoiser_apply(self, params, x_all, t, padding_mask):
+        """Inference denoiser forward: flax/XLA by default, or the fused
+        Pallas decoder-layer kernel (cfg.fused_transformer)."""
+        if self.cfg.fused_transformer:
+            from egoego_release_tpu.ops.fused_layer import fused_denoiser_apply
+
+            return fused_denoiser_apply(
+                params, x_all, t, padding_mask, cfg=self.cfg,
+                interpret=jax.default_backend() == "cpu",
+            )
+        return self.denoiser.apply(params, x_all, t, padding_mask)
+
     def _p_mean_variance(self, params, x, t, x_cond, padding_mask):
         x_all = jnp.concatenate([x, x_cond], axis=-1)
-        model_output = self.denoiser.apply(params, x_all, t, padding_mask)
+        model_output = self._denoiser_apply(params, x_all, t, padding_mask)
         if self.cfg.objective == "pred_x0":
             x_start = model_output
         else:
@@ -287,7 +306,7 @@ class CondGaussianDiffusion:
             k, sk = jax.random.split(k)
             tb = jnp.full((bs,), t, dtype=jnp.int32)
             x_all = jnp.concatenate([x, x_cond], axis=-1)
-            model_out = self.denoiser.apply(params, x_all, tb, padding_mask)
+            model_out = self._denoiser_apply(params, x_all, tb, padding_mask)
             x0 = jnp.clip(model_out, -1.0, 1.0)
 
             ac_t = c.alphas_cumprod[t]
