@@ -118,6 +118,38 @@ def run(opt) -> dict:
         print("qpos-path mpjpe: %.2f mm, slide_pred: %.2f"
               % (qpos_md["mpjpe"], qpos_md["slide_pred"]))
 
+    if qpos_records and opt.physics_metrics:
+        # simulator-grounded penetration/sliding/success metrics
+        # (eval_amass_metrics.py compute_physcis_metris / compute_obj_interact)
+        from egoego_release_tpu.eval.physics_metrics import (
+            compute_physics_metrics,
+            interaction_success,
+        )
+        from egoego_release_tpu.rl.mujoco_env import MujocoHumanoidEnv
+
+        env = MujocoHumanoidEnv(opt.mujoco_xml, residual_force=False)
+        phys_agg: dict[str, list] = {}
+        for name, rec in qpos_records.items():
+            pm_pred = compute_physics_metrics(env, rec["qpos"])
+            pm_gt = compute_physics_metrics(env, rec["qpos_gt"])
+            action = name.split("-")[0] if "-" in name else "None"
+            succ = interaction_success(
+                action, pm_pred["pen_seq_info"], rec["qpos"],
+                pm_pred["head_pose"],
+                head_pose_gt=pm_gt["head_pose"], env=env,
+            )
+            for k, v in (("pen_pred", pm_pred["pen"]), ("pen_gt", pm_gt["pen"]),
+                         ("slide_pred", pm_pred["sliding"]),
+                         ("slide_gt", pm_gt["sliding"]),
+                         ("succ", float(succ))):
+                phys_agg.setdefault(k, []).append(v)
+        result["physics_metrics"] = {
+            k: float(np.mean(v)) for k, v in phys_agg.items()
+        }
+        print("physics: pen_pred=%.2fmm succ=%.2f"
+              % (result["physics_metrics"]["pen_pred"],
+                 result["physics_metrics"]["succ"]))
+
     os.makedirs(opt.out_dir, exist_ok=True)
     with open(os.path.join(opt.out_dir, "trajar_baseline_res.json"), "w") as f:
         json.dump(result, f, indent=2)
@@ -137,6 +169,10 @@ def parse_opt(argv=None):
     p.add_argument("--mujoco_xml", default=None,
                    help="humanoid XML; when given, also report the kinpoly "
                         "qpos-path metric suite (eval/qpos_metrics.py)")
+    p.add_argument("--physics_metrics", action="store_true",
+                   help="with --mujoco_xml: also run the simulator-grounded "
+                        "penetration/sliding/success suite "
+                        "(eval/physics_metrics.py; needs mujoco)")
     p.add_argument("--out_dir", default="./results")
     return p.parse_args(argv)
 

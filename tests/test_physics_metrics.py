@@ -1,0 +1,195 @@
+"""Physics metric suite (penetration / sliding / success) on real MuJoCo.
+
+Covers eval/physics_metrics.py against the reference semantics of
+eval_amass_metrics.py: a standing trajectory has ~zero penetration, a
+trajectory pushed into the floor has positive penetration, and the
+per-action success logic reproduces :350-480 on synthetic contact records.
+"""
+
+import numpy as np
+import pytest
+
+mujoco = pytest.importorskip("mujoco")
+
+from egoego_release_tpu.eval.physics_metrics import (  # noqa: E402
+    compute_physics_metrics,
+    contiguous_regions,
+    humanoid_geom_ids,
+    interaction_success,
+)
+from egoego_release_tpu.rl.mujoco_env import MujocoHumanoidEnv  # noqa: E402
+
+XML = "/root/reference/kinpoly/assets/mujoco_models/humanoid_smpl_neutral_mesh.xml"
+
+
+@pytest.fixture(scope="module")
+def env():
+    return MujocoHumanoidEnv(XML, residual_force=False)
+
+
+def _standing_qpos(env, t=8):
+    nq = env.model.nq
+    q = np.zeros((t, nq))
+    q[:, 2] = 0.91          # pelvis height
+    q[:, 3] = 1.0           # identity root quat (wxyz)
+    return q
+
+
+def test_contiguous_regions():
+    c = np.array([0, 1, 1, 0, 0, 1, 0, 1], bool)
+    reg = contiguous_regions(c)
+    np.testing.assert_array_equal(reg, [[1, 3], [5, 6], [7, 8]])
+    assert contiguous_regions(np.zeros(5, bool)).shape == (0, 2)
+
+
+def test_penetration_clear_vs_buried(env):
+    # NOTE: this model's zero-joint rest pose lies horizontally (the MJCF is
+    # authored in global coordinates), so root z=0.91 floats the whole body
+    # clear of the floor and z=0.0 sinks it ~15 cm into the plane.
+    q = _standing_qpos(env)
+    res_clear = compute_physics_metrics(env, q)
+    assert res_clear["pen"] == 0.0
+    assert res_clear["joint_pos"].shape == (len(q), len(env.body_names), 3)
+    assert res_clear["head_pose"].shape == (len(q), 7)
+
+    buried = q.copy()
+    buried[:, 2] = 0.0      # root driven into the floor
+    res_buried = compute_physics_metrics(env, buried)
+    assert res_buried["pen"] > 10.0
+    # every buried frame records one-sided body<->floor contacts only
+    assert all(len(c) > 0 for c in res_buried["pen_seq_info"])
+
+    assert np.isfinite(res_clear["sliding"]) and res_clear["sliding"] >= 0.0
+
+
+def test_interaction_success_variants(env):
+    body_geoms = humanoid_geom_ids(env)
+    some_body_geom = next(iter(body_geoms))
+    fake_obj_geom = max(body_geoms) + 1000  # an id no humanoid body owns
+
+    # synthetic contact records: frames 2-4 touch the "object"
+    t = 6
+    pen_info = [[] for _ in range(t)]
+    for fr in (2, 3, 4):
+        pen_info[fr] = [(some_body_geom, fake_obj_geom, 0.01, 0.012)]
+
+    head = np.zeros((t, 7))
+    head_gt = np.zeros((t, 7))
+    traj = np.zeros((t, env.model.nq))
+
+    # monkeypatch resolution: pass obj geoms via a body-name set that resolves
+    # to nothing, then check the name-based paths with the real env + no hits
+    succ_none = interaction_success("None", pen_info, traj, head, head_gt, env=env)
+    assert succ_none is True
+    assert interaction_success("None", pen_info, traj, head, head_gt,
+                               env=env, fail_safe=True) is False
+
+    # avoid: no obj geoms resolved -> no hits -> success iff head drift small
+    assert interaction_success("avoid", pen_info, traj, head, head_gt, env=env)
+    head_far = head.copy()
+    head_far[-1, :3] = 1.0
+    assert not interaction_success("avoid", pen_info, traj, head_far, head_gt, env=env)
+
+    # sit: no resolvable chair bodies -> no contact -> failure
+    assert not interaction_success("sit", pen_info, traj, head, head_gt,
+                                   env=env, obj_body_names=("Chair",))
+
+    # push: uses obj_pose displacement only
+    obj_pose = np.zeros((t, 10))
+    assert not interaction_success("push", pen_info, traj, head, head_gt,
+                                   obj_pose=obj_pose, env=env)
+    obj_pose_moved = obj_pose.copy()
+    obj_pose_moved[-1, 7:10] = [0.2, 0.0, 0.0]
+    assert interaction_success("push", pen_info, traj, head, head_gt,
+                               obj_pose=obj_pose_moved, env=env)
+
+    # step: needs both step-contact and pelvis rise; no contacts -> failure
+    traj_rise = traj.copy()
+    traj_rise[3:, 2] = 0.2
+    assert not interaction_success("step", pen_info, traj_rise, head, head_gt, env=env)
+
+
+def test_sit_step_contact_paths(env):
+    """Drive the name-resolved contact branches with geom ids that really
+    belong to the named bodies (floor geom plays the object)."""
+    from egoego_release_tpu.eval.physics_metrics import _geom_ids_for_bodies
+
+    sit_geoms = _geom_ids_for_bodies(env, {"Pelvis"})
+    assert sit_geoms
+    pelvis_geom = next(iter(sit_geoms))
+    floor_geom = 0  # worldbody floor plane
+
+    t = 5
+    pen_info = [[] for _ in range(t)]
+    for fr in (1, 2):
+        pen_info[fr] = [(floor_geom, pelvis_geom, 0.02, 0.022)]
+    traj = np.zeros((t, env.model.nq))
+    head = np.zeros((t, 7))
+
+    # a "chair" resolved to the world body would include the floor geom, so
+    # monkey-route: treat worldbody name as the object holder
+    world_name = env._mj.mj_id2name(env.model, env._mj.mjtObj.mjOBJ_BODY, 0)
+    assert interaction_success(
+        "sit", pen_info, traj, head, head, env=env,
+        obj_body_names=(world_name,),
+    )
+
+    # step succeeds only with both knee/ankle contact AND pelvis rise
+    ankle_geom = next(iter(_geom_ids_for_bodies(env, {"L_Ankle"})))
+    pen_info_step = [[] for _ in range(t)]
+    pen_info_step[2] = [(floor_geom, ankle_geom, 0.01, 0.012)]
+    traj_rise = traj.copy()
+    traj_rise[3:, 2] = 0.2
+    assert interaction_success(
+        "step", pen_info_step, traj_rise, head, head, env=env,
+        obj_body_names=(world_name,),
+    )
+    assert not interaction_success(
+        "step", pen_info_step, traj, head, head, env=env,   # no rise
+        obj_body_names=(world_name,),
+    )
+
+
+def test_eval_trajar_physics_metrics_cli(tmp_path):
+    """Drive eval_trajar.run end-to-end with --mujoco_xml --physics_metrics:
+    the result JSON must carry the simulator-grounded suite."""
+    import joblib
+
+    from egoego_release_tpu.eval import eval_trajar
+
+    t, nq = 12, 76
+    rng = np.random.RandomState(0)
+    base = np.zeros(nq, np.float32)
+    base[2], base[3] = 0.91, 1.0
+    qpos = base[None].repeat(t, 0) + 0.01 * rng.randn(t, nq).astype(np.float32)
+    qpos[:, 3:7] /= np.linalg.norm(qpos[:, 3:7], axis=1, keepdims=True)
+    rec = {
+        "qpos": qpos,
+        "qvel": rng.randn(t - 1, 75).astype(np.float32) * 0.01,
+        "head_pose": rng.randn(t, 7).astype(np.float32),
+        "head_vels": rng.randn(t, 6).astype(np.float32) * 0.01,
+        "obj_pose": rng.randn(t, 7).astype(np.float32),
+        "obj_head_relative_poses": rng.randn(t, 7).astype(np.float32),
+        "seq_name": "subj-take1",
+    }
+    expert = str(tmp_path / "mocap_annotations.p")
+    joblib.dump({"subj-take1": rec}, expert)
+    rest = str(tmp_path / "rest.npy")
+    np.save(rest, rng.randn(22, 3).astype(np.float32) * 0.1)
+
+    opt = eval_trajar.parse_opt([
+        "--expert_path", expert, "--rest_offsets", rest,
+        "--fr_num", str(t), "--rnn_hdim", "32",
+        "--mujoco_xml", XML, "--physics_metrics",
+        "--out_dir", str(tmp_path / "out"),
+    ])
+    eval_trajar.run(opt)
+    import json
+
+    res = json.load(open(tmp_path / "out" / "trajar_baseline_res.json"))
+    if res["per_seq"]["subj-take1"].get("diverged"):
+        pytest.skip("random-init rollout diverged (acceptable)")
+    pm = res["physics_metrics"]
+    for key in ("pen_pred", "pen_gt", "slide_pred", "slide_gt", "succ"):
+        assert key in pm and np.isfinite(pm[key])
+    assert pm["succ"] == 1.0  # 'subj' action -> None branch, no fail_safe
