@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from egoego_release_tpu.ops.mujoco_xml import load_mujoco_skeleton, qpos_fk
 from egoego_release_tpu.rl import rewards as rewards_mod
+from egoego_release_tpu.rl import uhc_rewards as uhc_rewards_mod
 from egoego_release_tpu.rl.mujoco_env import MujocoHumanoidEnv
 
 
@@ -38,10 +39,19 @@ class PhysicsImitation:
                                term_body_diff=term_body_diff, **env_kwargs)
         self.env = MujocoHumanoidEnv(xml_path, **env_kwargs)
         self.skeleton = load_mujoco_skeleton(xml_path)
-        self.reward_fn = rewards_mod.REWARD_FUNCS[reward_id]
+        # relive dynamic-supervision rewards score against the KINEMATIC
+        # TARGET; UHC world rewards (rl/uhc_rewards.py) score against a
+        # precomputed EXPERT trajectory (set_expert + expert_ind per step),
+        # matching copycat's reward_id: world_rfc_implicit
+        self.uhc_reward = uhc_rewards_mod.UHC_REWARD_FUNCS.get(reward_id)
+        self.reward_fn = (
+            None if self.uhc_reward else rewards_mod.REWARD_FUNCS[reward_id]
+        )
         self.reward_weights = reward_weights
         self.term_body_diff = term_body_diff
         self._prev_bquat = None
+        self._expert = None
+        self._qaddr = None
 
     def clone(self) -> "PhysicsImitation":
         """Fresh env instance with the same configuration — one per rollout
@@ -53,6 +63,23 @@ class PhysicsImitation:
         self._prev_bquat = self.env.get_body_quat()
         return self.env.get_qpos()
 
+    def set_expert(self, expert_qpos: np.ndarray):
+        """Precompute the expert attrs the UHC world rewards read
+        (copycat/utils/tools.get_expert subset)."""
+        self._expert = uhc_rewards_mod.expert_physics_attrs(self.env, expert_qpos)
+        self._qaddr = uhc_rewards_mod.body_qposaddr(self.env.model)
+        return self._expert
+
+    def _uhc_cur_state(self, prev_qpos: np.ndarray):
+        return {
+            "bquat": uhc_rewards_mod.body_quat_local(
+                self.env.get_qpos(), self._qaddr, self.env.body_names),
+            "prev_bquat": uhc_rewards_mod.body_quat_local(
+                prev_qpos, self._qaddr, self.env.body_names),
+            "ee_wpos": uhc_rewards_mod.env_ee_wpos(self.env),
+            "com": uhc_rewards_mod.env_com(self.env),
+        }
+
     def _target_pose(self, target_qpos: np.ndarray):
         quat, pos = qpos_fk(self.skeleton, jnp.asarray(target_qpos[None], jnp.float32))
         return np.asarray(quat[0]), np.asarray(pos[0])
@@ -63,13 +90,33 @@ class PhysicsImitation:
         target_qpos: np.ndarray,      # (76,) kinematic target (step_ar output)
         ar_qpos: np.ndarray | None = None,   # raw ARNet qpos (v3 reward terms)
         prev_target_qpos: np.ndarray | None = None,
+        expert_ind: int | None = None,       # expert frame (UHC world rewards)
     ):
         """-> (reward, done, info).  The PD tracks target_qpos[7:] through
         frame_skip substeps; reward scores the simulated pose against the
         target (and optionally the AR context) with the configured
-        dynamic-supervision variant."""
+        dynamic-supervision variant, or against the set_expert trajectory
+        at expert_ind with the configured UHC world reward."""
         prev_bquat = self.env.get_body_quat()
+        prev_qpos = self.env.get_qpos()
         self.env.do_simulation(cc_action, np.asarray(target_qpos[7:], np.float64))
+
+        if self.uhc_reward is not None:
+            assert self._expert is not None, "call set_expert() first"
+            ind = expert_ind if expert_ind is not None else 0
+            reward, components = self.uhc_reward(
+                self._uhc_cur_state(prev_qpos), self._expert, ind,
+                np.asarray(cc_action), ws=self.reward_weights,
+                vf_dim=self.env.vf_dim, dt=self.env.dt,
+            )
+            tgt_wbpos = self._target_pose(target_qpos)[1]
+            body_diff = float(
+                np.linalg.norm(self.env.get_wbody_pos() - tgt_wbpos, axis=1).sum()
+            )
+            done = body_diff > self.term_body_diff
+            return float(reward), done, {
+                "body_diff": body_diff, "components": components,
+            }
 
         tgt_bquat, tgt_wbpos = self._target_pose(target_qpos)
         head_body = self.env.body_names.index("Head")

@@ -1,0 +1,216 @@
+"""UHC world-reward family vs the reference's OWN reward functions.
+
+Imports kinpoly/copycat/core/reward_function.py through the refstubs and
+drives it with a fake env exposing the exact interface it reads
+(humanoid_im-style accessors); our port must reproduce totals and components
+bit-for-bit (same numpy math).  Also validates the helpers against khrylib's
+own quaternion utilities and checks the expert-replay ranking property on
+the real MuJoCo model.
+"""
+
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, "/root/repo/tests")
+import reforacle  # noqa: F401,E402  (installs pytorch3d/evo/... stubs)
+
+sys.path.insert(0, "/root/reference/kinpoly")
+
+from egoego_release_tpu.rl.uhc_rewards import (  # noqa: E402
+    EE_NAMES,
+    euler_sxyz_to_quat,
+    expert_physics_attrs,
+    get_angvel_fd,
+    multi_quat_diff,
+    multi_quat_norm,
+    world_rfc_implicit_reward,
+    world_rfc_implicit_v1_mul,
+)
+
+
+@pytest.fixture(scope="module")
+def ref_rf():
+    return pytest.importorskip("copycat.core.reward_function")
+
+
+def _rand_quats(rng, j):
+    q = rng.randn(j, 4)
+    return (q / np.linalg.norm(q, axis=1, keepdims=True)).reshape(-1)
+
+
+def test_quat_helpers_match_khrylib(ref_rf):
+    import importlib
+
+    kmath = importlib.import_module("copycat.khrylib.utils.math")
+    from copycat.khrylib.utils.transformation import quaternion_from_euler
+
+    rng = np.random.RandomState(0)
+    a, b = _rand_quats(rng, 6), _rand_quats(rng, 6)
+    np.testing.assert_allclose(
+        multi_quat_diff(a, b), kmath.multi_quat_diff(a, b), atol=1e-10)
+    np.testing.assert_allclose(
+        multi_quat_norm(a), np.abs(kmath.multi_quat_norm(a)), atol=1e-8)
+    np.testing.assert_allclose(
+        get_angvel_fd(a, b, 1 / 30), kmath.get_angvel_fd(a, b, 1 / 30), atol=1e-7)
+
+    for e in rng.randn(5, 3):
+        np.testing.assert_allclose(
+            euler_sxyz_to_quat(e), quaternion_from_euler(*e), atol=1e-10)
+
+
+class _FakeEnv:
+    """The attribute surface world_rfc_implicit_reward reads (:4-54)."""
+
+    def __init__(self, rng, j=8, ws=None, b_diffw=None, vf_dim=6):
+        self.cfg = type("C", (), {})()
+        self.cfg.reward_weights = ws or {}
+        self.cfg.b_diffw = 1.0 if b_diffw is None else b_diffw
+        self.cur_t = 3
+        self.dt = 1 / 30
+        self.vf_dim = vf_dim
+        self._cur_bquat = _rand_quats(rng, j)
+        self.prev_bquat = _rand_quats(rng, j)
+        self._ee = rng.randn(len(EE_NAMES) * 3)
+        self._com = rng.randn(3)
+        t = 6
+        self.expert = {
+            "qpos": rng.randn(t, 76),
+            "ee_wpos": rng.randn(t, len(EE_NAMES) * 3),
+            "com": rng.randn(t, 3),
+            "bquat": np.stack([_rand_quats(rng, j) for _ in range(t)]),
+            "bangvel": rng.randn(t, j * 3),
+        }
+
+    def get_expert_index(self, t):
+        return t
+
+    def get_ee_pos(self, transform):
+        assert transform is None
+        return self._ee.copy()
+
+    def get_body_quat(self):
+        return self._cur_bquat.copy()
+
+    def get_com(self):
+        return self._com.copy()
+
+    def get_expert_attr(self, attr, ind):
+        return self.expert[attr][ind]
+
+
+@pytest.mark.parametrize("ws", [
+    None,
+    {"w_p": 0.3, "w_v": 0.1, "w_e": 0.45, "w_c": 0.1, "w_vf": 0.05,
+     "k_p": 2.0, "k_v": 0.005, "k_e": 5.0, "k_c": 100.0, "k_vf": 1.0},
+])
+def test_world_rfc_implicit_matches_reference(ref_rf, ws):
+    rng = np.random.RandomState(1)
+    env = _FakeEnv(rng, ws=dict(ws) if ws else {})
+    action = rng.randn(75 + env.vf_dim)
+
+    ref_total, ref_comp = ref_rf.reward_func["world_rfc_implicit"](
+        env, None, action, None)
+
+    cur = {
+        "bquat": env.get_body_quat(),
+        "prev_bquat": env.prev_bquat,
+        "ee_wpos": env.get_ee_pos(None),
+        "com": env.get_com(),
+    }
+    total, comp = world_rfc_implicit_reward(
+        cur, env.expert, env.cur_t, action, ws=ws,
+        b_diffw=env.cfg.b_diffw, vf_dim=env.vf_dim, dt=env.dt,
+    )
+    np.testing.assert_allclose(total, ref_total, atol=1e-10)
+    np.testing.assert_allclose(comp, ref_comp, atol=1e-10)
+
+
+def test_world_rfc_implicit_v1_mul_matches_reference(ref_rf):
+    rng = np.random.RandomState(2)
+    env = _FakeEnv(rng, ws={"k_e": 5.0})
+    action = rng.randn(75 + env.vf_dim)
+    ref_total, ref_comp = ref_rf.reward_func["world_rfc_implicit_v1_mul"](
+        env, None, action, None)
+    cur = {
+        "bquat": env.get_body_quat(),
+        "prev_bquat": env.prev_bquat,
+        "ee_wpos": env.get_ee_pos(None),
+        "com": env.get_com(),
+    }
+    total, comp = world_rfc_implicit_v1_mul(
+        cur, env.expert, env.cur_t, action, ws={"k_e": 5.0},
+        b_diffw=env.cfg.b_diffw, vf_dim=env.vf_dim, dt=env.dt,
+    )
+    np.testing.assert_allclose(total, ref_total, atol=1e-10)
+    np.testing.assert_allclose(comp, ref_comp, atol=1e-10)
+
+
+def test_expert_replay_ranks_highest_on_real_model():
+    mujoco = pytest.importorskip("mujoco")  # noqa: F841
+    from egoego_release_tpu.rl.mujoco_env import MujocoHumanoidEnv
+    from egoego_release_tpu.rl.uhc_rewards import body_qposaddr, body_quat_local
+
+    xml = "/root/reference/kinpoly/assets/mujoco_models/humanoid_smpl_neutral_mesh.xml"
+    env = MujocoHumanoidEnv(xml, residual_force=False)
+    rng = np.random.RandomState(3)
+    t, nq = 6, env.model.nq
+    qpos = np.zeros((t, nq))
+    qpos[:, 2], qpos[:, 3] = 0.91, 1.0
+    qpos[:, 7:] = 0.15 * rng.randn(t, nq - 7).cumsum(0) * 0.2
+
+    expert = expert_physics_attrs(env, qpos)
+    assert expert["bquat"].shape[0] == t and expert["bangvel"].shape[0] == t
+
+    qaddr = body_qposaddr(env.model)
+
+    def cur_state(q, q_prev):
+        env.data.qpos[:nq] = q
+        mujoco.mj_kinematics(env.model, env.data)
+        mujoco.mj_comPos(env.model, env.data)
+        from egoego_release_tpu.rl.uhc_rewards import env_com, env_ee_wpos
+
+        return {
+            "bquat": body_quat_local(q, qaddr, env.body_names),
+            "prev_bquat": body_quat_local(q_prev, qaddr, env.body_names),
+            "ee_wpos": env_ee_wpos(env),
+            "com": env_com(env),
+        }
+
+    ind = 4
+    action = np.zeros(env.ndof + 6)
+    r_expert, _ = world_rfc_implicit_reward(
+        cur_state(qpos[ind], qpos[ind - 1]), expert, ind, action, dt=env.dt)
+    perturbed = qpos[ind].copy()
+    perturbed[7:] += 0.3
+    perturbed_prev = qpos[ind - 1].copy()
+    perturbed_prev[7:] += 0.3
+    r_pert, _ = world_rfc_implicit_reward(
+        cur_state(perturbed, perturbed_prev), expert, ind, action, dt=env.dt)
+    assert r_expert > r_pert
+    assert r_expert > 0.9  # replaying the expert is near-perfect
+
+
+def test_physics_imitation_with_uhc_reward():
+    """PhysicsImitation(reward_id='world_rfc_implicit') steps the simulator
+    and scores against the set_expert trajectory (copycat loop shape)."""
+    mujoco = pytest.importorskip("mujoco")  # noqa: F841
+    from egoego_release_tpu.rl.imitation import PhysicsImitation
+
+    xml = "/root/reference/kinpoly/assets/mujoco_models/humanoid_smpl_neutral_mesh.xml"
+    sim = PhysicsImitation(xml, reward_id="world_rfc_implicit",
+                           reward_weights={"w_vf": 0.05})
+    rng = np.random.RandomState(5)
+    t, nq = 4, sim.env.model.nq
+    expert_qpos = np.zeros((t, nq))
+    expert_qpos[:, 2], expert_qpos[:, 3] = 0.91, 1.0
+    expert_qpos[:, 7:] = 0.02 * rng.randn(t, nq - 7)
+    sim.set_expert(expert_qpos)
+
+    sim.reset(expert_qpos[0])
+    action = np.zeros(sim.env.action_dim)
+    r, done, info = sim.step(action, expert_qpos[1], expert_ind=1)
+    assert 0.0 < r <= 1.0 and np.isfinite(info["body_diff"])
+    assert info["components"].shape == (5,)
+    assert isinstance(done, bool) or done in (True, False)
