@@ -39,6 +39,58 @@ class GaussianPolicy(nn.Module):
         return mean, log_std
 
 
+def _scaled_lecun(scale: float):
+    base = nn.initializers.lecun_uniform()
+    return lambda key, shape, dtype=jnp.float32: base(key, shape, dtype) * scale
+
+
+class MCPPolicy(nn.Module):
+    """Mixture-of-primitives actor (copycat/core/policy_mcp.py:9-38, the
+    UHC configs' actor_type "mcp" with num_primitive 8): K primitive MLPs
+    each emitting an action mean (output layer down-scaled 0.1x like the
+    reference's weight.mul_(0.1)), blended by a softmax composer MLP;
+    state-independent log_std.  Same (mean, log_std) interface as
+    GaussianPolicy, so it drops into both PPO trainers."""
+
+    action_dim: int
+    num_primitive: int = 8
+    hsize: tuple[int, ...] = (512, 256)      # copycat.yml policy_hsize
+    composer_hsize: tuple[int, ...] = (300, 200)
+    log_std_init: float = -2.3
+
+    @nn.compact
+    def __call__(self, obs):
+        means = jnp.stack(
+            [
+                nn.Dense(self.action_dim, kernel_init=_scaled_lecun(0.1),
+                         bias_init=nn.initializers.zeros,
+                         name=f"primitive_{i}_out")(
+                    MLP(self.hsize, "relu", name=f"primitive_{i}")(obs)
+                )
+                for i in range(self.num_primitive)
+            ],
+            axis=-2,
+        )                                               # (..., K, A)
+        logits = nn.Dense(self.num_primitive, name="composer_out")(
+            MLP(self.composer_hsize, "relu", name="composer")(obs)
+        )
+        weight = jax.nn.softmax(logits, axis=-1)        # (..., K)
+        mean = jnp.sum(weight[..., None] * means, axis=-2)
+        log_std = self.param(
+            "log_std", lambda _: jnp.full((self.action_dim,), self.log_std_init)
+        )
+        return mean, log_std
+
+
+def make_policy(action_dim: int, hsize=(512, 256), actor_type: str = "gauss",
+                num_primitive: int = 8, log_std_init: float = -2.3):
+    """actor_type 'gauss' (relive PolicyGaussian) or 'mcp' (UHC PolicyMCP)."""
+    if actor_type == "mcp":
+        return MCPPolicy(action_dim, num_primitive=num_primitive,
+                         hsize=tuple(hsize), log_std_init=log_std_init)
+    return GaussianPolicy(action_dim, tuple(hsize), log_std_init)
+
+
 class ValueNet(nn.Module):
     hsize: tuple[int, ...] = (512, 256)
 

@@ -28,6 +28,7 @@ from egoego_release_tpu.rl.ppo import (
     ValueNet,
     gae_advantages,
     gaussian_logprob,
+    make_policy,
 )
 from egoego_release_tpu.rl.trpo import ZFilter
 
@@ -44,13 +45,17 @@ class PhysicsPPO:
 
     def __init__(self, sess: PhysicsImitation, hsize=(256, 128),
                  gamma=0.95, lam=0.95, clip_eps=0.2,
-                 policy_lr=5e-5, value_lr=3e-4, epochs=5):
+                 policy_lr=5e-5, value_lr=3e-4, epochs=5,
+                 actor_type="gauss", num_primitive=8):
         self.sess = sess
         ndof = sess.env.ndof
         self.obs_dim = (sess.env.model.nq - 2) + sess.env.nv + ndof
         self.action_dim = sess.env.action_dim
         self.gamma, self.lam, self.clip_eps, self.epochs = gamma, lam, clip_eps, epochs
-        self.policy = GaussianPolicy(self.action_dim, hsize)
+        # actor_type "mcp" = the UHC configs' mixture-of-primitives actor
+        # (copycat.yml actor_type: mcp, num_primitive: 8)
+        self.policy = make_policy(self.action_dim, hsize, actor_type,
+                                  num_primitive=num_primitive)
         self.value = ValueNet(hsize)
         self.p_opt = optax.adam(policy_lr)
         self.v_opt = optax.adam(value_lr)

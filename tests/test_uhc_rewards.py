@@ -214,3 +214,67 @@ def test_physics_imitation_with_uhc_reward():
     assert 0.0 < r <= 1.0 and np.isfinite(info["body_diff"])
     assert info["components"].shape == (5,)
     assert isinstance(done, bool) or done in (True, False)
+
+
+def test_mcp_policy_and_physics_ppo():
+    """MCPPolicy (copycat PolicyMCP): blended mean has the right shape, the
+    composer weights sum to 1 implicitly (mean within primitive hull), and
+    the policy drops into PhysicsPPO (actor_type='mcp')."""
+    import jax
+    import jax.numpy as jnp
+
+    from egoego_release_tpu.rl.ppo import MCPPolicy
+
+    pol = MCPPolicy(action_dim=7, num_primitive=3, hsize=(16, 8),
+                    composer_hsize=(8,))
+    key = jax.random.PRNGKey(0)
+    obs = jax.random.normal(key, (4, 11))
+    params = pol.init(key, obs)
+    mean, log_std = pol.apply(params, obs)
+    assert mean.shape == (4, 7) and log_std.shape == (7,)
+    assert np.isfinite(np.asarray(mean)).all()
+    # softmax blending: the mean is a convex combination, so it is bounded
+    # componentwise by the min/max over primitives.  Check with K=2 params
+    # where both primitives are forced identical -> mean equals either one.
+    pol2 = MCPPolicy(action_dim=7, num_primitive=2, hsize=(16, 8),
+                     composer_hsize=(8,))
+    p2 = pol2.init(key, obs)
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(p2["params"])
+    for k in list(flat):
+        if k[0].startswith("primitive_1"):
+            flat[k] = flat[("primitive_0" + k[0][len("primitive_1"):],) + k[1:]]
+    p2 = {"params": flax.traverse_util.unflatten_dict(flat)}
+    m2, _ = pol2.apply(p2, obs)
+    # with identical primitives the composer weights cannot matter:
+    # perturbing the composer must leave the blended mean unchanged
+    flat = flax.traverse_util.flatten_dict(p2["params"])
+    for k in list(flat):
+        if k[0].startswith("composer"):
+            flat[k] = flat[k] + 0.7
+    p2_pert = {"params": flax.traverse_util.unflatten_dict(flat)}
+    m2_pert, _ = pol2.apply(p2_pert, obs)
+    np.testing.assert_allclose(np.asarray(m2), np.asarray(m2_pert), atol=1e-5)
+
+    mujoco = pytest.importorskip("mujoco")  # noqa: F841
+    from egoego_release_tpu.rl.imitation import PhysicsImitation
+    from egoego_release_tpu.rl.train_physics_agent import PhysicsPPO
+
+    xml = "/root/reference/kinpoly/assets/mujoco_models/humanoid_smpl_neutral_mesh.xml"
+    sess = PhysicsImitation(xml, reward_id="dynamic_supervision_v4")
+    agent = PhysicsPPO(sess, hsize=(32, 16), epochs=2,
+                       actor_type="mcp", num_primitive=2)
+    key = jax.random.PRNGKey(1)
+    key, k0 = jax.random.split(key)
+    state = agent.init_state(k0)
+    qpos0 = np.zeros(sess.env.model.nq)
+    qpos0[2], qpos0[3] = 0.91, 1.0
+    targets = np.tile(qpos0, (6, 1))
+    before = jax.tree.map(np.copy, state["policy"])
+    state, key, m = agent.iterate(state, key, qpos0, targets, horizon=6)
+    assert np.isfinite(m["reward_mean"]) and np.isfinite(m["policy_loss"])
+    moved = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        before, state["policy"])
+    assert max(jax.tree.leaves(moved)) > 0
