@@ -69,3 +69,39 @@ def test_videoregnet_learns():
     for _ in range(30):
         params, opt_state, loss = step(params, opt_state)
     assert float(loss) < 0.3 * float(loss0)
+
+
+def test_train_posereg_cli_overfits(tmp_path):
+    """training/train_posereg.py (exp_pose_reg.py port): loss drops on a tiny
+    fixture, checkpoint written, of-feats via separate pickle (of_file
+    contract) work."""
+    import joblib
+    import os
+
+    from egoego_release_tpu.training.train_posereg import parse_opt, run
+
+    rng = np.random.RandomState(0)
+    t, f = 16, 24
+    rec = {"qpos": rng.randn(t, 76).astype(np.float32) * 0.1,
+           "seq_name": "s1-take1"}
+    expert = str(tmp_path / "mocap_annotations.p")
+    joblib.dump({"s1-take1": rec}, expert)
+    of = str(tmp_path / "mocap_img_feats.p")
+    joblib.dump({"s1-take1": rng.randn(t, f).astype(np.float32)}, of)
+
+    opt = parse_opt([
+        "--expert_path", expert, "--of_feats_path", of,
+        "--fr_num", "8", "--v_hdim", "16", "--epochs", "1",
+        "--batch_size", "2", "--lr", "3e-3",
+        "--save_dir", str(tmp_path / "ckpt"), "--save_interval", "1",
+    ])
+    first = run(opt)
+    opt2 = parse_opt([
+        "--expert_path", expert, "--of_feats_path", of,
+        "--fr_num", "8", "--v_hdim", "16", "--epochs", "12",
+        "--batch_size", "2", "--lr", "3e-3",
+    ])
+    last = run(opt2)
+    assert np.isfinite(first) and np.isfinite(last)
+    assert last < first
+    assert os.path.isdir(tmp_path / "ckpt" / "epoch_1")
