@@ -128,20 +128,34 @@ def run(opt) -> dict:
         from egoego_release_tpu.rl.mujoco_env import MujocoHumanoidEnv
 
         env = MujocoHumanoidEnv(opt.mujoco_xml, residual_force=False)
+        obj_bodies = tuple(opt.obj_bodies or ())
         phys_agg: dict[str, list] = {}
         for name, rec in qpos_records.items():
-            pm_pred = compute_physics_metrics(env, rec["qpos"])
-            pm_gt = compute_physics_metrics(env, rec["qpos_gt"])
+            obj_pose = rec.get("obj_pose")
+            # write object qpos into the sim only when the model has slots
+            # for it (the plain humanoid XML has none)
+            obj_pose_sim = None
+            if obj_pose is not None:
+                extra = env.model.nq - rec["qpos"].shape[1]
+                if extra > 0:
+                    obj_pose_sim = np.asarray(obj_pose)[:, :extra]
+            pm_pred = compute_physics_metrics(env, rec["qpos"], obj_pose=obj_pose_sim)
+            pm_gt = compute_physics_metrics(env, rec["qpos_gt"], obj_pose=obj_pose_sim)
             action = name.split("-")[0] if "-" in name else "None"
-            succ = interaction_success(
-                action, pm_pred["pen_seq_info"], rec["qpos"],
-                pm_pred["head_pose"],
-                head_pose_gt=pm_gt["head_pose"], env=env,
-            )
+            try:
+                succ = interaction_success(
+                    action, pm_pred["pen_seq_info"], rec["qpos"],
+                    pm_pred["head_pose"],
+                    head_pose_gt=pm_gt["head_pose"], obj_pose=obj_pose,
+                    env=env, obj_body_names=obj_bodies,
+                )
+                phys_agg.setdefault("succ", []).append(float(succ))
+            except ValueError as e:
+                # object-action take without object data/bodies on this model
+                print(f"{name}: success not scoreable ({e})")
             for k, v in (("pen_pred", pm_pred["pen"]), ("pen_gt", pm_gt["pen"]),
                          ("slide_pred", pm_pred["sliding"]),
-                         ("slide_gt", pm_gt["sliding"]),
-                         ("succ", float(succ))):
+                         ("slide_gt", pm_gt["sliding"])):
                 phys_agg.setdefault(k, []).append(v)
         result["physics_metrics"] = {
             k: float(np.mean(v)) for k, v in phys_agg.items()
@@ -173,6 +187,9 @@ def parse_opt(argv=None):
                    help="with --mujoco_xml: also run the simulator-grounded "
                         "penetration/sliding/success suite "
                         "(eval/physics_metrics.py; needs mujoco)")
+    p.add_argument("--obj_bodies", nargs="*", default=None,
+                   help="object body names on the XML for sit/avoid/step "
+                        "success scoring (e.g. Chair Step)")
     p.add_argument("--out_dir", default="./results")
     return p.parse_args(argv)
 

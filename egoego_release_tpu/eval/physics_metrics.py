@@ -61,9 +61,32 @@ def _geom_ids_for_bodies(env, body_names) -> set[int]:
     return ids
 
 
+def humanoid_body_names(env) -> set[str]:
+    """Bodies in the Pelvis kinematic subtree — object bodies (chair/step/
+    box) hang off the world separately, so this reproduces the reference's
+    'body geoms 1..24' (:246) on object-bearing models too."""
+    import mujoco
+
+    model = env.model
+    names = {}
+    for bid in range(model.nbody):
+        names[bid] = env._mj.mj_id2name(model, mujoco.mjtObj.mjOBJ_BODY, bid)
+    root = next((bid for bid, n in names.items() if n == "Pelvis"), None)
+    if root is None:
+        return set(env.body_names)  # humanoid-only model, any naming
+    out = set()
+    for bid in range(model.nbody):
+        b = bid
+        while b != 0 and b != root:
+            b = int(model.body_parentid[b])
+        if b == root:
+            out.add(names[bid])
+    return out
+
+
 def humanoid_geom_ids(env) -> set[int]:
     """Geoms of every humanoid body (the reference's range(1, 25), :246)."""
-    return _geom_ids_for_bodies(env, set(env.body_names))
+    return _geom_ids_for_bodies(env, humanoid_body_names(env))
 
 
 def frame_penetrations(env, body_geoms: set[int], margin: float = PEN_MARGIN):
@@ -164,9 +187,21 @@ def interaction_success(
     obj_body_names: tuple[str, ...] = (),
     fail_safe: bool | None = None,
 ) -> bool:
-    """compute_obj_interact (:350-480) with name-resolved geom groups."""
+    """compute_obj_interact (:350-480) with name-resolved geom groups.
+
+    Object-action branches need their inputs: sit/avoid/step require `env`
+    plus `obj_body_names` that resolve to geoms on the loaded model, push
+    requires `obj_pose` — a clear ValueError beats a silently-constant
+    score when they are missing."""
     succ = False
     obj_geoms = _geom_ids_for_bodies(env, set(obj_body_names)) if env is not None else set()
+    if action in ("sit", "avoid", "step") and not obj_geoms:
+        raise ValueError(
+            f"action {action!r} needs obj_body_names resolving to geoms on "
+            f"the model (got {obj_body_names!r}); load an object-bearing XML"
+        )
+    if action == "push" and obj_pose is None:
+        raise ValueError("action 'push' needs obj_pose (T, >=10)")
 
     if action == "sit":
         body_geoms = _geom_ids_for_bodies(env, set(SIT_CONTACT_BODIES))

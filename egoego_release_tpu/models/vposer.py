@@ -54,11 +54,11 @@ def vposer_decode(params: dict, latent: jnp.ndarray, output_type: str = "aa") ->
     'matrot' -> (..., 21, 3, 3).
     Dropout is inference-mode (identity), matching the reference's eval use.
     """
-    x = latent
-    x = jnp.maximum(x @ params["fc1_w"] + params["fc1_b"],
-                    0.2 * (x @ params["fc1_w"] + params["fc1_b"]))
-    x = jnp.maximum(x @ params["fc2_w"] + params["fc2_b"],
-                    0.2 * (x @ params["fc2_w"] + params["fc2_b"]))
+    def leaky(y):
+        return jnp.maximum(y, 0.2 * y)
+
+    x = leaky(latent @ params["fc1_w"] + params["fc1_b"])
+    x = leaky(x @ params["fc2_w"] + params["fc2_b"])
     x = x @ params["out_w"] + params["out_b"]           # (..., 21*6)
     m = cont_rot_repr_decode(x.reshape(x.shape[:-1] + (NUM_JOINTS, 6)))
     if output_type == "matrot":

@@ -100,15 +100,21 @@ class PhysicsPPO:
         sess = sess or self.sess
         zf = self.zfilter
         sess.reset(qpos0)
+        if sess.uhc_reward is not None:
+            # UHC world rewards score against the expert trajectory at the
+            # step's time index (copycat get_expert_index) — the kinematic
+            # targets ARE the expert here
+            sess.set_expert(np.asarray(targets))
         raw_l, obs_l, act_l, logp_l, val_l, rew_l, done_l = [], [], [], [], [], [], []
         for t in range(horizon):
-            target = targets[min(t, len(targets) - 1)]
+            ind = min(t, len(targets) - 1)
+            target = targets[ind]
             raw = self.obs(target, sess)
             o = ZFilter.apply(zf, raw)
             key, ka = jax.random.split(key)
             a, logp, val = self._act(state, jnp.asarray(o), ka)
             a, logp, val = np.asarray(a), float(logp), float(val)
-            r, done, _ = sess.step(a, target)
+            r, done, _ = sess.step(a, target, expert_ind=ind)
             raw_l.append(raw); obs_l.append(np.asarray(o)); act_l.append(a)
             logp_l.append(logp); val_l.append(val)
             rew_l.append(r); done_l.append(done)

@@ -163,12 +163,15 @@ def expert_physics_attrs(env, qpos_seq: np.ndarray) -> dict:
         ee.append(env_ee_wpos(env))
         com.append(env_com(env))
     bquat = np.asarray(bquat)
-    bangvel = np.stack(
-        [get_angvel_fd(bquat[max(i - 1, 0)], bquat[i], env.dt)
-         for i in range(1, len(bquat))]
-    )
-    bangvel = np.concatenate([bangvel[:1], bangvel], axis=0) if len(bangvel) else \
-        np.zeros((1, (bquat.shape[1] // 4) * 3))
+    if len(bquat) > 1:
+        bangvel = np.stack(
+            [get_angvel_fd(bquat[i - 1], bquat[i], env.dt)
+             for i in range(1, len(bquat))]
+        )
+        # frame 0 copies frame 1 (tools.py:49-52)
+        bangvel = np.concatenate([bangvel[:1], bangvel], axis=0)
+    else:
+        bangvel = np.zeros((1, (bquat.shape[1] // 4) * 3))
     return {
         "bquat": bquat,
         "bangvel": bangvel,
@@ -220,9 +223,13 @@ def world_rfc_implicit_reward(cur, expert, ind, action, ws=None,
 def world_rfc_implicit_v1_mul(cur, expert, ind, action, ws=None,
                               b_diffw=1.0, vf_dim=6, dt=1 / 30):
     """Multiplicative variant (:56-103): product of ALL exp terms — the
-    residual-force term is unconditional here (:95-96)."""
-    w = dict(_DEFAULTS, **(ws or {}), w_vf=1.0)  # force vf term on
+    residual-force term is unconditional here (:95-96).  Without a residual
+    force (vf_dim == 0) the vf factor is exp(0) = 1, not a zeroing 0."""
+    w = dict(_DEFAULTS, **(ws or {}))
+    w["w_vf"] = 1.0  # force the vf term on (assignment, not a dup kwarg)
     _, rp, rv, re, rc, rvf = _terms(cur, expert, ind, action, w, b_diffw, vf_dim, dt)
+    if vf_dim <= 0:
+        rvf = 1.0
     total = rp * rv * re * rc * rvf
     return float(total), np.array([rp, rv, re, rc, rvf])
 

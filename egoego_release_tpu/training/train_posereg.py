@@ -63,6 +63,8 @@ def run(opt) -> float:
         cfg = KinpolyConfig(opt.cfg)
         model_specs = cfg.model_specs
         fr_num = opt.fr_num or cfg.fr_num
+    fr_num = fr_num or 90  # statear default window when neither flag nor cfg
+    assert fr_num > 0, f"fr_num must be positive, got {fr_num}"
 
     of, qpos = load_windows(opt.expert_path, opt.of_feats_path, fr_num)
     net = VideoRegNet(
@@ -101,8 +103,12 @@ def run(opt) -> float:
             idx = order[s:s + opt.batch_size]
             params, opt_state, loss = step(
                 params, opt_state, jnp.asarray(of[idx]), jnp.asarray(qpos[idx]))
-            losses.append(float(loss))
-        last = float(np.mean(losses))
+            loss = float(loss)
+            if np.isfinite(loss):
+                losses.append(loss)
+            else:
+                print("WARNING: NaN loss, batch skipped")  # exp_pose_reg:210-213
+        last = float(np.mean(losses)) if losses else float("nan")
         print(f"epoch {epoch}: loss {last:.5f}")
         if opt.save_dir and (epoch + 1) % opt.save_interval == 0:
             import orbax.checkpoint as ocp

@@ -67,13 +67,13 @@ def render_sequence(args):
             (files_a[frame_idx], mat_a, (0.0, 0.0, 0.0)),
             (files_b[frame_idx], mat_b, tuple(args.offset2)),
         ):
-            obj = import_mesh(path)
-            for f in obj.data.polygons:
-                f.use_smooth = True
-            obj.rotation_euler = (0.0, 0.0, 0.0)
-            obj.location = offset
-            obj.active_material = mat
-            meshes.append(obj)
+            for obj in import_mesh(path):
+                for f in obj.data.polygons:
+                    f.use_smooth = True
+                obj.rotation_euler = (0.0, 0.0, 0.0)
+                obj.location = offset
+                obj.active_material = mat
+                meshes.append(obj)
 
         bpy.context.scene.render.filepath = os.path.join(
             args.out_folder, "%05d.jpg" % frame_idx

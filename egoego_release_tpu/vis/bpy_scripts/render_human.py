@@ -62,6 +62,8 @@ def list_obj_files(folder):
 
 
 def import_mesh(path):
+    """Import an OBJ/PLY; returns ALL newly created objects (a multi-group
+    OBJ yields several — each must be styled and removed per frame)."""
     before = set(bpy.data.objects.keys())
     if path.endswith(".obj"):
         try:
@@ -73,8 +75,7 @@ def import_mesh(path):
             bpy.ops.wm.ply_import(filepath=path)
         except AttributeError:
             bpy.ops.import_mesh.ply(filepath=path)
-    new = [bpy.data.objects[k] for k in bpy.data.objects.keys() if k not in before]
-    return new[0]
+    return [bpy.data.objects[k] for k in bpy.data.objects.keys() if k not in before]
 
 
 def get_material(color_name):
@@ -149,22 +150,22 @@ def render_sequence(args):
 
     obj_files = list_obj_files(args.folder)
     for frame_idx, path in enumerate(obj_files):
-        human = import_mesh(path)
-        for f in human.data.polygons:
-            f.use_smooth = True
-        human.rotation_euler = (0.0, 0.0, 0.0)
-        human.active_material = material
+        meshes = import_mesh(path)
+        for human in meshes:
+            for f in human.data.polygons:
+                f.use_smooth = True
+            human.rotation_euler = (0.0, 0.0, 0.0)
+            human.active_material = material
 
-        gizmo = None
         if head_pose is not None and frame_idx < len(head_pose):
-            gizmo = head_gizmo()
-            place_head(gizmo, head_pose[frame_idx])
+            place_head(head_gizmo(), head_pose[frame_idx])
 
         bpy.context.scene.render.filepath = os.path.join(
             args.out_folder, "%05d.jpg" % frame_idx
         )
         bpy.ops.render.render(write_still=True)
-        bpy.data.objects.remove(human, do_unlink=True)
+        for human in meshes:
+            bpy.data.objects.remove(human, do_unlink=True)
     return len(obj_files)
 
 

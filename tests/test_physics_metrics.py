@@ -84,15 +84,23 @@ def test_interaction_success_variants(env):
     assert interaction_success("None", pen_info, traj, head, head_gt,
                                env=env, fail_safe=True) is False
 
-    # avoid: no obj geoms resolved -> no hits -> success iff head drift small
-    assert interaction_success("avoid", pen_info, traj, head, head_gt, env=env)
+    # avoid: obj geoms resolved (floor via worldbody) but never hit in
+    # pen_info -> success iff head drift small
+    world_name = env._mj.mj_id2name(env.model, env._mj.mjtObj.mjOBJ_BODY, 0)
+    assert interaction_success("avoid", pen_info, traj, head, head_gt,
+                               env=env, obj_body_names=(world_name,))
     head_far = head.copy()
     head_far[-1, :3] = 1.0
-    assert not interaction_success("avoid", pen_info, traj, head_far, head_gt, env=env)
+    assert not interaction_success("avoid", pen_info, traj, head_far, head_gt,
+                                   env=env, obj_body_names=(world_name,))
 
-    # sit: no resolvable chair bodies -> no contact -> failure
-    assert not interaction_success("sit", pen_info, traj, head, head_gt,
-                                   env=env, obj_body_names=("Chair",))
+    # sit/avoid/step with UNRESOLVABLE object bodies must fail loudly, not
+    # return a silently-constant score
+    with pytest.raises(ValueError):
+        interaction_success("sit", pen_info, traj, head, head_gt,
+                            env=env, obj_body_names=("Chair",))
+    with pytest.raises(ValueError):
+        interaction_success("push", pen_info, traj, head, head_gt, env=env)
 
     # push: uses obj_pose displacement only
     obj_pose = np.zeros((t, 10))
@@ -106,7 +114,8 @@ def test_interaction_success_variants(env):
     # step: needs both step-contact and pelvis rise; no contacts -> failure
     traj_rise = traj.copy()
     traj_rise[3:, 2] = 0.2
-    assert not interaction_success("step", pen_info, traj_rise, head, head_gt, env=env)
+    assert not interaction_success("step", pen_info, traj_rise, head, head_gt,
+                                   env=env, obj_body_names=(world_name,))
 
 
 def test_sit_step_contact_paths(env):

@@ -129,7 +129,11 @@ def test_world_rfc_implicit_matches_reference(ref_rf, ws):
 
 def test_world_rfc_implicit_v1_mul_matches_reference(ref_rf):
     rng = np.random.RandomState(2)
-    env = _FakeEnv(rng, ws={"k_e": 5.0})
+    # the full copycat.yml reward_weights INCLUDING w_vf (regression: the
+    # merge must not raise 'multiple values for w_vf')
+    ws = {"w_p": 0.3, "w_v": 0.1, "w_e": 0.45, "w_c": 0.1, "w_vf": 0.05,
+          "k_p": 2.0, "k_v": 0.005, "k_e": 5.0, "k_c": 100.0, "k_vf": 1.0}
+    env = _FakeEnv(rng, ws=dict(ws))
     action = rng.randn(75 + env.vf_dim)
     ref_total, ref_comp = ref_rf.reward_func["world_rfc_implicit_v1_mul"](
         env, None, action, None)
@@ -140,11 +144,33 @@ def test_world_rfc_implicit_v1_mul_matches_reference(ref_rf):
         "com": env.get_com(),
     }
     total, comp = world_rfc_implicit_v1_mul(
-        cur, env.expert, env.cur_t, action, ws={"k_e": 5.0},
+        cur, env.expert, env.cur_t, action, ws=ws,
         b_diffw=env.cfg.b_diffw, vf_dim=env.vf_dim, dt=env.dt,
     )
     np.testing.assert_allclose(total, ref_total, atol=1e-10)
     np.testing.assert_allclose(comp, ref_comp, atol=1e-10)
+
+    # without a residual force the vf FACTOR is 1, never a zeroing 0
+    total0, comp0 = world_rfc_implicit_v1_mul(
+        cur, env.expert, env.cur_t, action[:-6], ws=ws,
+        b_diffw=env.cfg.b_diffw, vf_dim=0, dt=env.dt,
+    )
+    assert comp0[4] == 1.0
+    np.testing.assert_allclose(total0, np.prod(comp0[:4]), rtol=1e-12)
+
+
+def test_expert_attrs_single_frame():
+    mujoco = pytest.importorskip("mujoco")  # noqa: F841
+    from egoego_release_tpu.rl.mujoco_env import MujocoHumanoidEnv
+
+    xml = "/root/reference/kinpoly/assets/mujoco_models/humanoid_smpl_neutral_mesh.xml"
+    env = MujocoHumanoidEnv(xml, residual_force=False)
+    q = np.zeros((1, env.model.nq))
+    q[:, 2], q[:, 3] = 0.91, 1.0
+    attrs = expert_physics_attrs(env, q)
+    assert attrs["bquat"].shape[0] == 1
+    assert attrs["bangvel"].shape == (1, (attrs["bquat"].shape[1] // 4) * 3)
+    assert np.allclose(attrs["bangvel"], 0.0)
 
 
 def test_expert_replay_ranks_highest_on_real_model():
