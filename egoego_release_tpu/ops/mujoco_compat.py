@@ -47,9 +47,17 @@ def convert_global_mjcf(xml_path: str, meshdir: str | None = None) -> str:
         f"{xml_path} is not a coordinate='global' model"
     )
     del compiler.attrib["coordinate"]
+    base_dir = os.path.dirname(os.path.abspath(xml_path))
     if meshdir is None:
-        meshdir = os.path.join(os.path.dirname(os.path.abspath(xml_path)), "geom")
+        meshdir = os.path.join(base_dir, "geom")
     compiler.set("meshdir", meshdir)
+    # the string-loaded model has no base path: absolutize <include> files
+    # (the *_all variants include common/materials.xml) and texture paths
+    compiler.set("texturedir", base_dir)
+    for inc in root.iter("include"):
+        f = inc.get("file", "")
+        if f and not os.path.isabs(f):
+            inc.set("file", os.path.join(base_dir, f))
     # mesh file="./geom/X.stl" entries become plain filenames under meshdir
     asset = root.find("asset")
     if asset is not None:

@@ -202,3 +202,51 @@ def test_eval_trajar_physics_metrics_cli(tmp_path):
     for key in ("pen_pred", "pen_gt", "slide_pred", "slide_gt", "succ"):
         assert key in pm and np.isfinite(pm[key])
     assert pm["succ"] == 1.0  # 'subj' action -> None branch, no fail_safe
+
+
+XML_ALL = ("/root/reference/kinpoly/assets/mujoco_models/"
+           "humanoid_smpl_neutral_mesh_all.xml")
+
+
+def test_object_model_interaction_success_real_contacts():
+    """The *_all object-bearing MJCF converts, humanoid/object geom scoping
+    works, and 'sit' success fires from REAL simulator contacts when the
+    chair overlaps the pelvis."""
+    from egoego_release_tpu.eval.physics_metrics import humanoid_body_names
+    from egoego_release_tpu.rl.uhc_rewards import body_qposaddr
+
+    env = MujocoHumanoidEnv(XML_ALL, residual_force=False)
+    assert {"chair", "box", "step"} <= set(env.body_names) - humanoid_body_names(env)
+
+    qaddr = body_qposaddr(env.model)
+    t, nq = 5, env.model.nq
+    q = np.zeros((t, nq))
+    q[:, 2], q[:, 3] = 0.91, 1.0
+    # park every object far away, identity quats
+    for name in ("chair", "box", "table", "step", "Can"):
+        if name in qaddr:
+            s, _ = qaddr[name]
+            q[:, s:s + 3] = 50.0
+            q[:, s + 3] = 1.0
+
+    res_clear = compute_physics_metrics(env, q)
+    hits_clear = [c for fr in res_clear["pen_seq_info"] for c in fr]
+    assert res_clear["pen"] == 0.0 and not hits_clear
+
+    # move the chair into the pelvis -> one-sided body<->chair contacts
+    s, _ = qaddr["chair"]
+    q_sit = q.copy()
+    q_sit[:, s:s + 3] = [0.0, 0.0, 0.91]
+    res_sit = compute_physics_metrics(env, q_sit)
+    assert any(len(fr) > 0 for fr in res_sit["pen_seq_info"])
+
+    head = np.zeros((t, 7))
+    assert interaction_success(
+        "sit", res_sit["pen_seq_info"], q_sit, head, head,
+        env=env, obj_body_names=("chair",),
+    )
+    # chair far away again -> no contact -> sit fails
+    assert not interaction_success(
+        "sit", res_clear["pen_seq_info"], q, head, head,
+        env=env, obj_body_names=("chair",),
+    )
