@@ -146,13 +146,17 @@ def run(opt) -> dict:
             from egoego_release_tpu.vis.html_viewer import vis_skeleton_motion_html
 
             os.makedirs(opt.out_dir, exist_ok=True)
+            # center every layer at the same initial-head-xy origin the
+            # prediction uses (pipeline.py subtracts it), or the head
+            # polyline floats metres from the skeletons for sequences whose
+            # GT starts away from the world origin
+            t_vis = best["pred_jpos"].shape[0]
+            origin_xy = np.asarray(gt_jpos[0:1, HEAD_IDX, :]) * [1.0, 1.0, 0.0]
             vis_skeleton_motion_html(
                 best["pred_jpos"],
                 os.path.join(opt.out_dir, seq_name + ".html"),
-                gt_jpos=np.asarray(gt_jpos)[: best["pred_jpos"].shape[0]]
-                - np.asarray(gt_jpos[0:1, HEAD_IDX:HEAD_IDX + 1, :])
-                * np.asarray([1.0, 1.0, 0.0]),
-                head_traj=head_pose[:, :3],
+                gt_jpos=np.asarray(gt_jpos)[:t_vis] - origin_xy[:, None, :],
+                head_traj=head_pose[:t_vis, :3] - origin_xy,
                 title=seq_name,
             )
         entry = {k: float(np.mean(v)) for k, v in md.items() if k != "single_jpe"}

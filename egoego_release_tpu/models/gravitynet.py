@@ -159,6 +159,7 @@ def gravitynet_eval_upper_bound(
 
 
 def gravitynet_loss(pred_normal: Array, gt_normal: Array) -> Array:
-    """Squared-error normal loss: position_loss = sum((gt - pred)^2, dim=1)
-    then mean (head_normal_estimation_transformer.py:36-38,334-342)."""
-    return jnp.sum((gt_normal - pred_normal) ** 2, axis=-1).mean()
+    """L1 normal loss: position_loss = |gt - pred|.sum(dim=1) then mean
+    (head_normal_estimation_transformer.py:33-35, used by compute_loss
+    :334-342)."""
+    return jnp.sum(jnp.abs(gt_normal - pred_normal), axis=-1).mean()

@@ -164,12 +164,17 @@ def main(argv=None):
     pe.add_argument("--amass_processed_root", required=True)
     pe.add_argument("--rendered_root", required=True)
     pe.add_argument("--index_pkl", required=True)
-    # back-compat: no subcommand = process (the original flag surface)
-    argv = argv if argv is not None else None
-    args, extra = p.parse_known_args(argv)
+    # back-compat: no subcommand = process (the original flag surface).
+    # Decide BEFORE parsing: with subparsers, parse_known_args would match
+    # the first flag VALUE against the subcommand choices and exit(2).
+    import sys
+
+    argv = list(argv) if argv is not None else sys.argv[1:]
+    if argv and argv[0] not in ("process", "extract", "-h", "--help"):
+        argv = ["process"] + argv
+    args = p.parse_args(argv)
     if args.cmd is None:
-        args = pp.parse_args(extra)
-        args.cmd = "process"
+        p.error("a subcommand (process/extract) or the process flags are required")
     if args.cmd == "process":
         process_root(args.rendered_root, args.smplh_path, args.out, args.dataset)
     else:

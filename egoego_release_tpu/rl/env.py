@@ -83,6 +83,21 @@ class KinematicHumanoidEnv:
         trans, aa24 = geometry.qpos_to_smpl(qpos)
         return fk_mod.fk_smpl(trans, aa24[:, :22], self.rest_offsets)
 
+    def prepare_expert(self, expert: dict) -> dict:
+        """Precompute full-body expert FK ONCE per trajectory — step() would
+        otherwise re-run two fk_smpl calls on the fixed expert every env step
+        of every rollout.  Adds bquat (T,B,22,4) / wbpos (T,B,22,3)."""
+        if "bquat" in expert:
+            return expert
+        q = jnp.asarray(expert["qpos"])          # (T, B, 76)
+        t, b = q.shape[:2]
+        gq, gp = self._body_pose(q.reshape(t * b, q.shape[-1]))
+        return dict(
+            expert,
+            bquat=gq.reshape(t, b, 22, 4),
+            wbpos=gp.reshape(t, b, 22, 3),
+        )
+
     def obs(self, state: EnvState, expert: dict) -> jnp.ndarray:
         """Observation at the current step (HumanoidAREnv get_obs spirit:
         heading-local qpos + qvel + head tracking differences + target head
@@ -116,9 +131,17 @@ class KinematicHumanoidEnv:
 
             cur_bquat, cur_wbpos = self._body_pose(next_qpos)
             prev_bquat, _ = self._body_pose(state.qpos)
-            e_bquat, e_wbpos = self._body_pose(e_qpos)
-            e_prev_qpos = expert["qpos"][state.t, envs]
-            e_prev_bquat, _ = self._body_pose(e_prev_qpos)
+            if "bquat" in expert:   # precomputed by prepare_expert
+                e_bquat = expert["bquat"][t_next, envs]
+                e_wbpos = expert["wbpos"][t_next, envs]
+                e_prev_bquat = expert["bquat"][state.t, envs]
+            else:
+                e_bquat, e_wbpos = self._body_pose(e_qpos)
+                e_prev_bquat, _ = self._body_pose(expert["qpos"][state.t, envs])
+            # Role mapping without a simulator: the POLICY plays the ARNet
+            # (ar_* = its integrated pose), the expert is both the kinematic
+            # target and GT — so v3's rp/rq/act_p regularize the policy
+            # against the expert instead of degenerating to exp(0)=1.
             ctx = RewardContext(
                 cur_hpose=jnp.concatenate([hpos, hrot], axis=-1),
                 tgt_hpose=e_head,
@@ -127,10 +150,10 @@ class KinematicHumanoidEnv:
                 cur_wbpos=cur_wbpos,
                 tgt_bquat=e_bquat,
                 tgt_wbpos=e_wbpos,
-                tgt_qpos=next_qpos,
-                ar_qpos=e_qpos,
-                ar_bquat=e_bquat,
-                ar_prev_bquat=e_prev_bquat,
+                tgt_qpos=e_qpos,
+                ar_qpos=next_qpos,
+                ar_bquat=cur_bquat,
+                ar_prev_bquat=prev_bquat,
                 gt_bquat=e_bquat,
                 gt_prev_bquat=e_prev_bquat,
                 dt=self.dt,

@@ -49,7 +49,6 @@ class PhysicsImitation:
         )
         self.reward_weights = reward_weights
         self.term_body_diff = term_body_diff
-        self._prev_bquat = None
         self._expert = None
         self._qaddr = None
 
@@ -60,7 +59,6 @@ class PhysicsImitation:
 
     def reset(self, qpos0: np.ndarray, qvel0: np.ndarray | None = None):
         self.env.reset(qpos0, qvel0)
-        self._prev_bquat = self.env.get_body_quat()
         return self.env.get_qpos()
 
     def set_expert(self, expert_qpos: np.ndarray):

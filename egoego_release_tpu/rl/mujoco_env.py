@@ -108,6 +108,23 @@ class MujocoHumanoidEnv:
         self.vf_dim = 6 if residual_force else 0
         self.action_dim = self.ndof + self.vf_dim
 
+        # the PD path runs frame_skip times per 30 Hz control step in the
+        # host rollout hot loop — jit it once (static shapes per env) instead
+        # of paying per-op eager dispatch on every substep
+        import functools
+
+        import jax
+
+        self._torque_fn = jax.jit(functools.partial(
+            control.compute_torque,
+            dt=self.model.opt.timestep, a_scale=self.a_scale,
+        ))
+        self._rfc_fn = jax.jit(functools.partial(
+            control.rfc_implicit_force,
+            residual_force_scale=self.rfc_scale,
+            residual_force_lim=self.rfc_lim,
+        )) if residual_force else None
+
     # -- state ------------------------------------------------------------
 
     def reset(self, qpos: np.ndarray, qvel: np.ndarray | None = None):
@@ -146,10 +163,10 @@ class MujocoHumanoidEnv:
         M, C = self.mass_matrix_and_bias()
         f32 = lambda x: np.asarray(x, np.float32)  # jax default dtype
         tau = np.asarray(
-            control.compute_torque(
+            self._torque_fn(
                 f32(ctrl_joint), f32(self.data.qpos), f32(self.data.qvel),
                 f32(target_kin_pose), f32(M), f32(C), f32(self.jkp),
-                f32(self.jkd), self.model.opt.timestep, self.a_scale,
+                f32(self.jkd),
             )
         )
         return np.clip(tau, -self.torque_lim, self.torque_lim)
@@ -167,10 +184,9 @@ class MujocoHumanoidEnv:
             self.data.ctrl[:] = self._pd_torque(ctrl_joint, target_kin_pose)
             if self.residual_force:
                 vf = np.asarray(
-                    control.rfc_implicit_force(
+                    self._rfc_fn(
                         np.asarray(action[self.ndof : self.ndof + self.vf_dim], np.float32),
                         np.asarray(self.data.qpos[3:7], np.float32),
-                        self.rfc_scale, self.rfc_lim,
                     )
                 )
                 self.data.qfrc_applied[: self.vf_dim] = vf

@@ -230,4 +230,5 @@ class PPOAgent:
 
     def iterate(self, state, key, env_state, expert):
         """One PPO iteration (rollout horizon + epochs of updates), jitted."""
+        expert = self.env.prepare_expert(expert)   # FK once, not per step
         return self._iterate(state, key, env_state, expert)

@@ -33,25 +33,14 @@ Array = jax.Array
 
 
 # ---------------------------------------------------------------------------
-# quat helpers (relive/utils/math_utils.py:93-118, transformation.py:364-374)
+# quat helpers (relive/utils/math_utils.py:93-118) — the reference's inverse
+# is the plain conjugate (unit-quat assumption), so reuse ops/rotations
 # ---------------------------------------------------------------------------
 
-def quat_inverse(q: Array) -> Array:
-    return q * jnp.asarray([1.0, -1.0, -1.0, -1.0], dtype=q.dtype)
-
-
-def quat_multiply(a: Array, b: Array) -> Array:
-    aw, ax, ay, az = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
-    bw, bx, by, bz = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
-    return jnp.stack(
-        [
-            aw * bw - ax * bx - ay * by - az * bz,
-            aw * bx + ax * bw + ay * bz - az * by,
-            aw * by - ax * bz + ay * bw + az * bx,
-            aw * bz + ax * by - ay * bx + az * bw,
-        ],
-        axis=-1,
-    )
+from egoego_release_tpu.ops.rotations import (  # noqa: E402
+    quat_conjugate as quat_inverse,
+    quat_multiply,
+)
 
 
 def multi_quat_diff(nq1: Array, nq0: Array) -> Array:

@@ -182,6 +182,7 @@ class TRPOAgent:
         return new_state, final_env, metrics
 
     def iterate(self, state, key, env_state, expert):
+        expert = self.env.prepare_expert(expert)   # FK once, not per step
         return self._update(state, key, env_state, expert)
 
 

@@ -60,8 +60,26 @@ def _layernorm(sd, key):
     }
 
 
+def count_decoder_layers(sd: dict, prefix: str) -> int:
+    """Number of layer_stack entries in a Decoder state-dict subtree."""
+    i = 0
+    while f"{prefix}.layer_stack.{i}.self_attn.w_q.weight" in sd:
+        i += 1
+    return i
+
+
 def convert_decoder(sd: dict, prefix: str, n_layers: int) -> dict:
-    """Decoder (transformer_module.py:172) subtree -> flax params."""
+    """Decoder (transformer_module.py:172) subtree -> flax params.
+
+    Refuses a layer-count mismatch instead of silently dropping trained
+    layers (or crashing on a missing key)."""
+    found = count_decoder_layers(sd, prefix)
+    if found != n_layers:
+        raise ValueError(
+            f"decoder layer-count mismatch at {prefix!r}: checkpoint has "
+            f"{found} layers, target module expects {n_layers} "
+            "(pass the matching n_layers / *_n_dec_layers)"
+        )
     out = {"start_conv": _conv1d(sd, f"{prefix}.start_conv")}
     for i in range(n_layers):
         lp = f"{prefix}.layer_stack.{i}"
