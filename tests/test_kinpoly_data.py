@@ -144,3 +144,24 @@ def test_eval_sweep_runs_both_configs(tmp_path):
         for md in res["per_take"].values():
             assert md.get("diverged") == 1.0 or np.isfinite(md["mpjpe"])
     assert sorted(results) == ["exp_v0", "exp_v1"]
+
+
+def test_all_reference_statear_yamls_load():
+    """Config-surface compatibility: every one of the reference's 68 bundled
+    statear experiment YAMLs loads through KinpolyConfig with the groups the
+    trainers/eval read (model_specs / policy_specs / fr_num / data files)."""
+    import glob
+
+    paths = sorted(glob.glob("/root/reference/kinpoly/config/statear/*.yml"))
+    assert len(paths) == 68
+    for path in paths:
+        cfg = KinpolyConfig(path)
+        assert isinstance(cfg.model_specs, dict)
+        assert isinstance(cfg.policy_specs, dict)
+        assert cfg.get("fr_num", 90) > 0
+        assert isinstance(cfg.data_file(), str)
+        assert isinstance(cfg.data_file(wild=True), str)
+        # the agent-training path reads these from policy_specs when present
+        ps = cfg.policy_specs
+        if "policy_hsize" in ps:
+            assert all(int(h) > 0 for h in ps["policy_hsize"])
