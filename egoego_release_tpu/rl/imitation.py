@@ -69,13 +69,21 @@ class PhysicsImitation:
         return self._expert
 
     def _uhc_cur_state(self, prev_qpos: np.ndarray):
+        qpos = self.env.get_qpos()
         return {
             "bquat": uhc_rewards_mod.body_quat_local(
-                self.env.get_qpos(), self._qaddr, self.env.body_names),
+                qpos, self._qaddr, self.env.body_names),
             "prev_bquat": uhc_rewards_mod.body_quat_local(
                 prev_qpos, self._qaddr, self.env.body_names),
             "ee_wpos": uhc_rewards_mod.env_ee_wpos(self.env),
             "com": uhc_rewards_mod.env_com(self.env),
+            # the explicit/local/v2/v3 variants additionally read:
+            "qpos": qpos,
+            "prev_qpos": prev_qpos,
+            "ee_pos": uhc_rewards_mod.env_ee_local(self.env),
+            "wbquat": uhc_rewards_mod.env_wbquat(self.env),
+            "wbpos": uhc_rewards_mod.env_wbpos(self.env),
+            "body_com": uhc_rewards_mod.env_body_com(self.env),
         }
 
     def _target_pose(self, target_qpos: np.ndarray):

@@ -8,7 +8,13 @@ bundled configs, copycat/cfg/{copycat,deepmimic}.yml:27):
             + w_e e^{-k_e |ee_diff|^2} + w_c e^{-k_c |com_diff|^2}
             + w_vf e^{-k_vf |vf|^2}) / sum(w)            (:4-54)
 
-plus the multiplicative variant `world_rfc_implicit_v1_mul` (:56-106).
+plus the multiplicative variant `world_rfc_implicit_v1_mul` (:56-106), and
+the full remaining registry (:453-460): `world_rfc_explicit` (:105-170,
+split contact-point/force residual terms + cyclic-expert remapping),
+`local_rfc_implicit`/`local_rfc_explicit` (:172-299, heading-local root
+velocities + de-headed root quat, root excluded from pose/vel terms), and
+`world_rfc_implicit_v2`/`_v3` (:301-452, world-quat/body-com/joint-pos
+means with per-joint jpos_diffw; v2 multiplicative, v3 weighted-sum).
 Everything is a pure numpy function over explicit state (this repo's
 rl/control.py style); the simulator quantities come from
 MujocoHumanoidEnv via the helpers below:
@@ -99,6 +105,81 @@ def euler_sxyz_to_quat(e: np.ndarray) -> np.ndarray:
     ], axis=-1)
 
 
+def _quat_to_mat(q: np.ndarray) -> np.ndarray:
+    """wxyz quat -> 3x3 rotation, Gohlke quaternion_matrix semantics
+    (khrylib transformation.py:1267: self-normalizing via n = q.q)."""
+    q = np.asarray(q, np.float64)
+    n = float(q @ q)
+    if n < 1e-12:
+        return np.eye(3)
+    q = q * np.sqrt(2.0 / n)
+    o = np.outer(q, q)
+    return np.array([
+        [1.0 - o[2, 2] - o[3, 3], o[1, 2] - o[3, 0], o[1, 3] + o[2, 0]],
+        [o[1, 2] + o[3, 0], 1.0 - o[1, 1] - o[3, 3], o[2, 3] - o[1, 0]],
+        [o[1, 3] - o[2, 0], o[2, 3] + o[1, 0], 1.0 - o[1, 1] - o[2, 2]],
+    ])
+
+
+def quat_mul_vec(q: np.ndarray, v: np.ndarray) -> np.ndarray:
+    """Rotate (..., 3) by quat (khrylib math.py:180-184)."""
+    shape = np.shape(v)
+    return (np.reshape(v, (-1, 3)) @ _quat_to_mat(q).T).reshape(shape)
+
+
+def get_heading_q(q: np.ndarray) -> np.ndarray:
+    """Yaw-only quat: zero x/y, renormalize (khrylib math.py:132-137)."""
+    hq = np.asarray(q, np.float64).copy()
+    hq[1] = hq[2] = 0.0
+    return hq / np.linalg.norm(hq)
+
+
+def de_heading(q: np.ndarray) -> np.ndarray:
+    """Remove the heading from a root quat (khrylib math.py:154-158)."""
+    return _quat_mul(_quat_inv(get_heading_q(q)), np.asarray(q, np.float64))
+
+
+def transform_vec(v: np.ndarray, q: np.ndarray, trans: str = "root") -> np.ndarray:
+    """World vector -> root/heading frame (khrylib math.py:102-115)."""
+    rot = _quat_to_mat(get_heading_q(q) if trans == "heading" else q)
+    return rot.T @ np.asarray(v, np.float64)
+
+
+def _rot_from_quat_single(q: np.ndarray):
+    """(axis, angle) of one quat (khrylib transformation.py:348-356:
+    angle = 2 acos(w) UNWRAPPED; near-identity -> x-axis, 0)."""
+    w = float(np.clip(q[0], -1.0, 1.0))
+    if 1.0 - abs(w) < 1e-8:
+        return np.array([1.0, 0.0, 0.0]), 0.0
+    s = np.sqrt(1.0 - w * w)
+    return np.asarray(q[1:4], np.float64) / s, 2.0 * np.arccos(w)
+
+
+def get_qvel_fd_new(cur_qpos: np.ndarray, next_qpos: np.ndarray, dt: float,
+                    transform: str | None = None) -> np.ndarray:
+    """Finite-difference qvel with pi-wrapped root angle and joint diffs
+    (khrylib math.py:45-65); root angvel in root coords, linear velocity
+    optionally transformed (the expert pipeline passes no transform; the
+    local rewards pass cfg.obs_coord)."""
+    v = (next_qpos[:3] - cur_qpos[:3]) / dt
+    qrel = _quat_mul(next_qpos[3:7], _quat_inv(cur_qpos[3:7]))
+    axis, angle = _rot_from_quat_single(qrel)
+    while angle > np.pi:
+        angle -= 2 * np.pi
+    while angle < -np.pi:
+        angle += 2 * np.pi
+    rv = transform_vec(axis * angle / dt, cur_qpos[3:7], "root")
+    diff = (next_qpos[7:] - cur_qpos[7:]).copy()
+    while np.any(diff > np.pi):
+        diff[diff > np.pi] -= 2 * np.pi
+    while np.any(diff < -np.pi):
+        diff[diff < -np.pi] += 2 * np.pi
+    qvel = np.concatenate([v, rv, diff / dt])
+    if transform is not None:
+        qvel[:3] = transform_vec(v, cur_qpos[3:7], transform)
+    return qvel
+
+
 # -- simulator-state extraction ---------------------------------------------
 
 def body_qposaddr(model) -> dict[str, tuple[int, int]]:
@@ -147,14 +228,55 @@ def env_com(env) -> np.ndarray:
     return env.data.subtree_com[0].copy()
 
 
-def expert_physics_attrs(env, qpos_seq: np.ndarray) -> dict:
-    """Per-frame expert attrs these rewards read: bquat (T, J*4),
+BODY_LIM = 25  # humanoid_im.py:26 — world + the 24 humanoid bodies; the
+#                object-bearing *_all models append objects AFTER this range
+
+
+def _lim(env) -> int:
+    return min(env.model.nbody, BODY_LIM)
+
+
+def env_wbquat(env) -> np.ndarray:
+    """World body quats, flat (get_wbody_quat — humanoid_im.py:398-402)."""
+    return env.data.xquat[1:_lim(env)].copy().ravel()
+
+
+def env_wbpos(env) -> np.ndarray:
+    """World body positions, flat (get_wbody_pos — humanoid_im.py:420-424)."""
+    return env.data.xpos[1:_lim(env)].copy().ravel()
+
+
+def env_body_com(env) -> np.ndarray:
+    """Per-body inertial-frame centers, flat (get_body_com —
+    humanoid_im.py:433-444: xipos per body, plane ignored)."""
+    return env.data.xipos[1:_lim(env)].copy().ravel()
+
+
+def env_ee_local(env, obs_coord: str = "heading") -> np.ndarray:
+    """End effectors relative to the root, rotated into the root/heading
+    frame (get_ee_pos(transform) — humanoid_im.py:369-382)."""
+    root_pos = env.data.qpos[:3]
+    root_q = env.data.qpos[3:7].copy()
+    out = []
+    for name in EE_NAMES:
+        i = env.body_names.index(name) + 1
+        out.append(transform_vec(env.data.xpos[i] - root_pos, root_q, obs_coord))
+    return np.concatenate(out)
+
+
+def expert_physics_attrs(env, qpos_seq: np.ndarray, obs_coord: str = "heading") -> dict:
+    """Per-frame expert attrs the UHC rewards read: bquat (T, J*4),
     bangvel (T, J*3) (frame 0 copies frame 1, tools.py:49-52), ee_wpos
-    (T, 15), com (T, 3).  Replay uses mj_kinematics + mj_comPos only."""
+    (T, 15), com (T, 3), plus the world/local attrs of the explicit/local/v2
+    variants — wbquat/wbpos/body_com (world bodies), ee_pos + rlinv_local
+    (obs_coord frame), rangv, rq_rmh (de-headed root quat), qvel clipped to
+    +-10 (tools.py:29-37).  Replay uses mj_kinematics + mj_comPos only."""
     import mujoco
 
     qaddr = body_qposaddr(env.model)
     bquat, ee, com = [], [], []
+    wbquat, wbpos, body_com, ee_loc, rq_rmh = [], [], [], [], []
+    qvel, rlinv_local, rangv = [], [], []
     for fr in range(len(qpos_seq)):
         env.data.qpos[: qpos_seq.shape[1]] = qpos_seq[fr]
         mujoco.mj_kinematics(env.model, env.data)
@@ -162,6 +284,25 @@ def expert_physics_attrs(env, qpos_seq: np.ndarray) -> dict:
         bquat.append(body_quat_local(qpos_seq[fr], qaddr, env.body_names))
         ee.append(env_ee_wpos(env))
         com.append(env_com(env))
+        wbquat.append(env_wbquat(env))
+        wbpos.append(env_wbpos(env))
+        body_com.append(env_body_com(env))
+        ee_loc.append(env_ee_local(env, obs_coord))
+        rq_rmh.append(de_heading(qpos_seq[fr][3:7]))
+        if fr > 0:
+            qv = get_qvel_fd_new(qpos_seq[fr - 1], qpos_seq[fr], env.dt)
+            qv = qv.clip(-10.0, 10.0)
+            qvel.append(qv)
+            rlinv_local.append(
+                transform_vec(qv[:3].copy(), qpos_seq[fr][3:7], obs_coord))
+            rangv.append(qv[3:6].copy())
+    if qvel:  # frame 0 copies frame 1 (tools.py:51-54)
+        for lst in (qvel, rlinv_local, rangv):
+            lst.insert(0, lst[0].copy())
+    else:  # single-frame expert: zero velocities
+        qvel = [np.zeros(qpos_seq.shape[1] - 1)]
+        rlinv_local = [np.zeros(3)]
+        rangv = [np.zeros(3)]
     bquat = np.asarray(bquat)
     if len(bquat) > 1:
         bangvel = np.stack(
@@ -178,6 +319,16 @@ def expert_physics_attrs(env, qpos_seq: np.ndarray) -> dict:
         "ee_wpos": np.asarray(ee),
         "com": np.asarray(com),
         "qpos": np.asarray(qpos_seq),
+        "wbquat": np.asarray(wbquat),
+        "wbpos": np.asarray(wbpos),
+        "body_com": np.asarray(body_com),
+        "ee_pos": np.asarray(ee_loc),
+        "rq_rmh": np.asarray(rq_rmh),
+        "qvel": np.asarray(qvel),
+        "rlinv_local": np.asarray(rlinv_local),
+        "rangv": np.asarray(rangv),
+        "len": len(qpos_seq),
+        "meta": {"cyclic": False},
     }
 
 
@@ -234,7 +385,209 @@ def world_rfc_implicit_v1_mul(cur, expert, ind, action, ws=None,
     return float(total), np.array([rp, rv, re, rc, rvf])
 
 
+def world_rfc_explicit_reward(cur, expert, ind, action, ws=None, b_diffw=1.0,
+                              vf_dim=6, body_vf_dim=6, dt=1 / 30,
+                              cur_t=0, start_ind=0):
+    """(:105-170).  Explicit residual force: the action tail carries
+    per-vf-body (contact_point, force) blocks scored separately (w_vf/w_cp).
+    Cyclic experts remap rpos/com/ee by the cycle heading (:130-139);
+    non-cyclic experts past their end get zero target bangvel (:141-142)."""
+    w = dict(_DEFAULTS, w_cp=0.0, k_cp=1.0)
+    w.update(ws or {})
+    n_vf_bodies = max(vf_dim // body_vf_dim, 0)
+
+    e_ee = expert["ee_wpos"][ind].copy()
+    e_com = expert["com"][ind].copy()
+    e_bangvel = expert["bangvel"][ind]
+    meta = expert.get("meta", {"cyclic": False})
+    if meta["cyclic"]:
+        e_rpos = expert["qpos"][ind][:3]
+        init_pos = expert["init_pos"]
+        cycle_h = expert["cycle_relheading"]
+        cycle_pos = expert["cycle_pos"]
+        orig_rpos = e_rpos.copy()
+        e_rpos = quat_mul_vec(cycle_h, e_rpos - init_pos) + cycle_pos
+        e_com = quat_mul_vec(cycle_h, e_com - orig_rpos) + e_rpos
+        for i in range(e_ee.shape[0] // 3):
+            e_ee[3 * i: 3 * i + 3] = (
+                quat_mul_vec(cycle_h, e_ee[3 * i: 3 * i + 3] - orig_rpos) + e_rpos)
+    if not meta["cyclic"] and start_ind + cur_t >= expert["len"]:
+        e_bangvel = np.zeros_like(e_bangvel)
+
+    pose_diff = multi_quat_norm(multi_quat_diff(cur["bquat"], expert["bquat"][ind])).copy()
+    pose_diff[1:] *= b_diffw
+    pose_reward = np.exp(-w["k_p"] * np.linalg.norm(pose_diff) ** 2)
+
+    cur_bangvel = get_angvel_fd(cur["prev_bquat"], cur["bquat"], dt)
+    vel_dist = np.linalg.norm(cur_bangvel - e_bangvel, ord=w["v_ord"])
+    vel_reward = np.exp(-w["k_v"] * vel_dist ** 2)
+
+    ee_reward = np.exp(-w["k_e"] * np.linalg.norm(cur["ee_wpos"] - e_ee) ** 2)
+    com_reward = np.exp(-w["k_c"] * np.linalg.norm(cur["com"] - e_com) ** 2)
+
+    vf = np.asarray(action)[-vf_dim:]
+    vf_loss = cp_loss = 0.0
+    for i in range(n_vf_bodies):
+        cp = vf[i * body_vf_dim: i * body_vf_dim + 3]
+        force = vf[i * body_vf_dim + 3: (i + 1) * body_vf_dim]
+        vf_loss += np.linalg.norm(force) ** 2
+        cp_loss += np.linalg.norm(cp) ** 2
+    vf_reward = np.exp(-w["k_vf"] * vf_loss)
+    cp_reward = np.exp(-w["k_cp"] * cp_loss)
+
+    total = (w["w_p"] * pose_reward + w["w_v"] * vel_reward
+             + w["w_e"] * ee_reward + w["w_c"] * com_reward
+             + w["w_vf"] * vf_reward + w["w_cp"] * cp_reward)
+    total /= (w["w_p"] + w["w_v"] + w["w_e"] + w["w_c"]
+              + w["w_vf"] + w["w_cp"])
+    return float(total), np.array(
+        [pose_reward, vel_reward, ee_reward, com_reward, vf_reward, cp_reward])
+
+
+_LOCAL_DEFAULTS = dict(w_p=0.5, w_v=0.0, w_e=0.2, w_rp=0.1, w_rv=0.1, w_vf=0.1,
+                       k_p=2.0, k_v=0.005, k_e=20.0, k_vf=1.0,
+                       k_rh=300.0, k_rq=300.0, k_rl=5.0, k_ra=0.5, v_ord=2)
+
+
+def _local_terms(cur, expert, ind, ws, b_diffw, dt, obs_coord):
+    """Shared local_rfc_* terms (:172-299): root excluded from pose/vel,
+    heading-local root velocities, de-headed root quat."""
+    w = ws
+    cur_qvel = get_qvel_fd_new(cur["prev_qpos"], cur["qpos"], dt, obs_coord)
+    cur_rq_rmh = de_heading(cur["qpos"][3:7])
+
+    pose_diff = multi_quat_norm(
+        multi_quat_diff(cur["bquat"][4:], expert["bquat"][ind][4:])).copy()
+    pose_diff *= b_diffw
+    pose_reward = np.exp(-w["k_p"] * np.linalg.norm(pose_diff) ** 2)
+
+    cur_bangvel = get_angvel_fd(cur["prev_bquat"], cur["bquat"], dt)
+    vel_dist = np.linalg.norm(
+        cur_bangvel[3:] - expert["bangvel"][ind][3:], ord=w["v_ord"])
+    vel_reward = np.exp(-w["k_v"] * vel_dist ** 2)
+
+    ee_dist = np.linalg.norm(cur["ee_pos"] - expert["ee_pos"][ind])
+    ee_reward = np.exp(-w["k_e"] * ee_dist ** 2)
+
+    root_height_dist = cur["qpos"][2] - expert["qpos"][ind][2]
+    root_quat_dist = multi_quat_norm(
+        multi_quat_diff(cur_rq_rmh, expert["rq_rmh"][ind]))[0]
+    root_pose_reward = np.exp(-w["k_rh"] * root_height_dist ** 2
+                              - w["k_rq"] * root_quat_dist ** 2)
+
+    root_linv_dist = np.linalg.norm(cur_qvel[:3] - expert["rlinv_local"][ind])
+    root_angv_dist = np.linalg.norm(cur_qvel[3:6] - expert["rangv"][ind])
+    root_vel_reward = np.exp(-w["k_rl"] * root_linv_dist ** 2
+                             - w["k_ra"] * root_angv_dist ** 2)
+    return pose_reward, vel_reward, ee_reward, root_pose_reward, root_vel_reward
+
+
+def local_rfc_implicit_reward(cur, expert, ind, action, ws=None, b_diffw=1.0,
+                              vf_dim=6, dt=1 / 30, obs_coord="heading"):
+    """(:172-232).  cur: dict(qpos, prev_qpos, bquat, prev_bquat,
+    ee_pos [obs_coord frame])."""
+    w = dict(_LOCAL_DEFAULTS, **(ws or {}))
+    rp, rv, re, rrp, rrv = _local_terms(cur, expert, ind, w, b_diffw, dt, obs_coord)
+    if w["w_vf"] > 0.0:
+        vf = np.asarray(action)[-vf_dim:]
+        rvf = np.exp(-w["k_vf"] * np.linalg.norm(vf) ** 2)
+    else:
+        rvf = 0.0
+    total = (w["w_p"] * rp + w["w_v"] * rv + w["w_e"] * re
+             + w["w_rp"] * rrp + w["w_rv"] * rrv + w["w_vf"] * rvf)
+    total /= w["w_p"] + w["w_v"] + w["w_e"] + w["w_rp"] + w["w_rv"] + w["w_vf"]
+    return float(total), np.array([rp, rv, re, rrp, rrv, rvf])
+
+
+def local_rfc_explicit_reward(cur, expert, ind, action, ws=None, b_diffw=1.0,
+                              vf_dim=6, body_vf_dim=6, dt=1 / 30,
+                              obs_coord="heading"):
+    """(:234-299).  Local terms + split contact-point/force residual."""
+    w = dict(_LOCAL_DEFAULTS, w_p=0.4, w_vf=0.1, w_cp=0.1,
+             k_vf=20.0, k_cp=10.0)
+    w.update(ws or {})
+    rp, rv, re, rrp, rrv = _local_terms(cur, expert, ind, w, b_diffw, dt, obs_coord)
+    n_vf_bodies = max(vf_dim // body_vf_dim, 0)
+    vf = np.asarray(action)[-vf_dim:]
+    vf_loss = cp_loss = 0.0
+    for i in range(n_vf_bodies):
+        cp = vf[i * body_vf_dim: i * body_vf_dim + 3]
+        force = vf[i * body_vf_dim + 3: (i + 1) * body_vf_dim]
+        vf_loss += np.linalg.norm(force) ** 2
+        cp_loss += np.linalg.norm(cp) ** 2
+    rvf = np.exp(-w["k_vf"] * vf_loss)
+    rcp = np.exp(-w["k_cp"] * cp_loss)
+    total = (w["w_p"] * rp + w["w_v"] * rv + w["w_e"] * re
+             + w["w_rp"] * rrp + w["w_rv"] * rrv
+             + w["w_vf"] * rvf + w["w_cp"] * rcp)
+    total /= (w["w_p"] + w["w_v"] + w["w_e"] + w["w_rp"] + w["w_rv"]
+              + w["w_vf"] + w["w_cp"])
+    return float(total), np.array([rp, rv, re, rrp, rrv, rvf, rcp])
+
+
+_V2_DEFAULTS = dict(k_p=0.4, k_wp=0.4, k_v=0.005, k_j=100.0, k_c=100.0, k_vf=1.0)
+
+
+def _v23_terms(cur, expert, ind, action, ws, vf_dim, dt):
+    """Shared world_rfc_implicit_v2/v3 terms (:301-452): mean-squared
+    distances over local quats, world quats, body coms, world joint
+    positions, bangvel — all weighted per joint by jpos_diffw."""
+    w = dict(_V2_DEFAULTS, **(ws or {}))
+    jw = np.asarray(w.get("jpos_diffw", [1.0] * 24), np.float64)
+
+    pose_diff = multi_quat_norm(
+        multi_quat_diff(cur["bquat"], expert["bquat"][ind])).copy()
+    pose_diff *= jw
+    pose_reward = np.exp(-w["k_p"] * (pose_diff ** 2).mean())
+
+    wpose_diff = multi_quat_norm(
+        multi_quat_diff(cur["wbquat"], expert["wbquat"][ind])).copy()
+    wpose_diff *= jw
+    wpose_reward = np.exp(-w["k_wp"] * (wpose_diff ** 2).mean())
+
+    cur_bangvel = get_angvel_fd(cur["prev_bquat"], cur["bquat"], dt)
+    vel_reward = np.exp(
+        -w["k_v"] * ((cur_bangvel - expert["bangvel"][ind]) ** 2).mean())
+
+    dcom = (expert["body_com"][ind].reshape(-1, 3)
+            - cur["body_com"].reshape(-1, 3)) * jw[:, None]
+    com_reward = np.exp(
+        -w["k_c"] * (np.linalg.norm(dcom, axis=1) ** 2).mean())
+
+    dj = (cur["wbpos"].reshape(-1, 3)
+          - expert["wbpos"][ind].reshape(-1, 3)) * jw[:, None]
+    jpos_reward = np.exp(
+        -w["k_j"] * (np.linalg.norm(dj, axis=1) ** 2).mean())
+
+    vf = np.asarray(action)[-vf_dim:]
+    vf_reward = np.exp(-w["k_vf"] * np.linalg.norm(vf) ** 2)
+    return w, pose_reward, wpose_reward, com_reward, jpos_reward, vel_reward, vf_reward
+
+
+def world_rfc_implicit_v2(cur, expert, ind, action, ws=None, vf_dim=6, dt=1 / 30):
+    """(:301-375) — multiplicative combination."""
+    _, rp, rwp, rc, rj, rv, rvf = _v23_terms(cur, expert, ind, action, ws, vf_dim, dt)
+    total = rp * rwp * rc * rj * rv * rvf
+    return float(total), np.array([rp, rwp, rc, rj, rv, rvf])
+
+
+def world_rfc_implicit_v3(cur, expert, ind, action, ws=None, vf_dim=6, dt=1 / 30):
+    """(:376-452) — weighted sum (NOT normalized by the weight total)."""
+    w, rp, rwp, rc, rj, rv, rvf = _v23_terms(cur, expert, ind, action, ws, vf_dim, dt)
+    w_p, w_wp = w.get("w_p", 0.4), w.get("w_wp", 0.4)
+    w_v, w_j = w.get("w_v", 0.005), w.get("w_j", 100.0)
+    w_c, w_vf = w.get("w_c", 100.0), w.get("w_vf", 1.0)
+    total = (w_p * rp + w_wp * rwp + w_c * rc + w_j * rj
+             + w_v * rv + w_vf * rvf)
+    return float(total), np.array([rp, rwp, rc, rj, rv, rvf])
+
+
 UHC_REWARD_FUNCS = {
     "world_rfc_implicit": world_rfc_implicit_reward,
     "world_rfc_implicit_v1_mul": world_rfc_implicit_v1_mul,
+    "world_rfc_explicit": world_rfc_explicit_reward,
+    "local_rfc_implicit": local_rfc_implicit_reward,
+    "local_rfc_explicit": local_rfc_explicit_reward,
+    "world_rfc_implicit_v2": world_rfc_implicit_v2,
+    "world_rfc_implicit_v3": world_rfc_implicit_v3,
 }

@@ -20,13 +20,23 @@ sys.path.insert(0, "/root/reference/kinpoly")
 
 from egoego_release_tpu.rl.uhc_rewards import (  # noqa: E402
     EE_NAMES,
+    UHC_REWARD_FUNCS,
+    de_heading,
     euler_sxyz_to_quat,
     expert_physics_attrs,
     get_angvel_fd,
+    get_qvel_fd_new,
+    local_rfc_explicit_reward,
+    local_rfc_implicit_reward,
     multi_quat_diff,
     multi_quat_norm,
+    quat_mul_vec,
+    transform_vec,
+    world_rfc_explicit_reward,
     world_rfc_implicit_reward,
     world_rfc_implicit_v1_mul,
+    world_rfc_implicit_v2,
+    world_rfc_implicit_v3,
 )
 
 
@@ -157,6 +167,189 @@ def test_world_rfc_implicit_v1_mul_matches_reference(ref_rf):
     )
     assert comp0[4] == 1.0
     np.testing.assert_allclose(total0, np.prod(comp0[:4]), rtol=1e-12)
+
+
+class _FakeEnvFull(_FakeEnv):
+    """Extends the fake surface with everything the explicit/local/v2/v3
+    variants read (humanoid_im.py accessors + cfg/start_ind/prev_qpos)."""
+
+    def __init__(self, rng, j=8, nb=24, ws=None, b_diffw=None, vf_dim=6,
+                 cyclic=False, obs_coord="heading"):
+        super().__init__(rng, j=j, ws=ws, b_diffw=b_diffw, vf_dim=vf_dim)
+        self.cfg.obs_coord = obs_coord
+        self.start_ind = 0
+        self.body_vf_dim = 6
+        self.vf_bodies = ["Pelvis"] * (vf_dim // self.body_vf_dim)
+        self._wbquat = _rand_quats(rng, nb)
+        self._wbpos = rng.randn(nb * 3)
+        self._body_com = rng.randn(nb * 3)
+        self._ee_local = rng.randn(len(EE_NAMES) * 3)
+
+        def rq(r):
+            q = r.randn(4)
+            return q / np.linalg.norm(q)
+
+        self.prev_qpos = np.concatenate(
+            [rng.randn(3), rq(rng), rng.uniform(-np.pi, np.pi, 69)])
+        cur_qpos = np.concatenate(
+            [rng.randn(3), rq(rng), rng.uniform(-np.pi, np.pi, 69)])
+        self.data = type("D", (), {})()
+        self.data.qpos = cur_qpos
+        t = self.expert["qpos"].shape[0]
+        for i in range(t):  # reference expert qpos carry unit root quats
+            q = self.expert["qpos"][i, 3:7]
+            self.expert["qpos"][i, 3:7] = q / np.linalg.norm(q)
+        self.expert.update({
+            "wbquat": np.stack([_rand_quats(rng, nb) for _ in range(t)]),
+            "wbpos": rng.randn(t, nb * 3),
+            "body_com": rng.randn(t, nb * 3),
+            "ee_pos": rng.randn(t, len(EE_NAMES) * 3),
+            "rq_rmh": np.stack(
+                [de_heading(self.expert["qpos"][i, 3:7]) for i in range(t)]),
+            "rlinv_local": rng.randn(t, 3),
+            "rangv": rng.randn(t, 3),
+            "len": t,
+            "meta": {"cyclic": cyclic},
+        })
+        if cyclic:
+            self.expert["init_pos"] = rng.randn(3)
+            self.expert["cycle_relheading"] = _rand_quats(rng, 1)
+            self.expert["cycle_pos"] = rng.randn(3)
+
+    def get_ee_pos(self, transform):
+        if transform is None:
+            return self._ee.copy()
+        assert transform == self.cfg.obs_coord
+        return self._ee_local.copy()
+
+    def get_wbody_quat(self):
+        return self._wbquat.copy()
+
+    def get_wbody_pos(self):
+        return self._wbpos.copy()
+
+    def get_body_com(self):
+        return self._body_com.copy()
+
+    def cur_state_dict(self):
+        return {
+            "bquat": self.get_body_quat(),
+            "prev_bquat": self.prev_bquat,
+            "ee_wpos": self.get_ee_pos(None),
+            "com": self.get_com(),
+            "qpos": self.data.qpos.copy(),
+            "prev_qpos": self.prev_qpos.copy(),
+            "ee_pos": self._ee_local.copy(),
+            "wbquat": self.get_wbody_quat(),
+            "wbpos": self.get_wbody_pos(),
+            "body_com": self.get_body_com(),
+        }
+
+
+@pytest.mark.parametrize("cyclic", [False, True])
+def test_world_rfc_explicit_matches_reference(ref_rf, cyclic):
+    rng = np.random.RandomState(7)
+    ws = {"w_p": 0.5, "w_v": 0.1, "w_e": 0.2, "w_c": 0.1, "w_vf": 0.05,
+          "w_cp": 0.05, "k_p": 2.0, "k_v": 0.005, "k_e": 20.0, "k_c": 1000.0,
+          "k_vf": 1.0, "k_cp": 1.0}
+    env = _FakeEnvFull(rng, ws=dict(ws), cyclic=cyclic)
+    action = rng.randn(75 + env.vf_dim)
+    ref_total, ref_comp = ref_rf.reward_func["world_rfc_explicit"](
+        env, None, action, None)
+    total, comp = world_rfc_explicit_reward(
+        env.cur_state_dict(), env.expert, env.cur_t, action, ws=ws,
+        b_diffw=env.cfg.b_diffw, vf_dim=env.vf_dim,
+        body_vf_dim=env.body_vf_dim, dt=env.dt,
+        cur_t=env.cur_t, start_ind=env.start_ind,
+    )
+    np.testing.assert_allclose(total, ref_total, atol=1e-10)
+    np.testing.assert_allclose(comp, ref_comp, atol=1e-10)
+
+
+def test_world_rfc_explicit_past_end_zeroes_bangvel(ref_rf):
+    rng = np.random.RandomState(8)
+    env = _FakeEnvFull(rng)
+    env.start_ind = env.expert["len"]  # start_ind + t >= len -> zero e_bangvel
+    action = rng.randn(75 + env.vf_dim)
+    ref_total, ref_comp = ref_rf.reward_func["world_rfc_explicit"](
+        env, None, action, None)
+    total, comp = world_rfc_explicit_reward(
+        env.cur_state_dict(), env.expert, env.cur_t, action,
+        vf_dim=env.vf_dim, body_vf_dim=env.body_vf_dim, dt=env.dt,
+        cur_t=env.cur_t, start_ind=env.start_ind,
+    )
+    np.testing.assert_allclose(total, ref_total, atol=1e-10)
+    np.testing.assert_allclose(comp, ref_comp, atol=1e-10)
+
+
+@pytest.mark.parametrize("rid,ours", [
+    ("local_rfc_implicit", local_rfc_implicit_reward),
+    ("local_rfc_explicit", local_rfc_explicit_reward),
+])
+def test_local_rfc_matches_reference(ref_rf, rid, ours):
+    rng = np.random.RandomState(9)
+    # b_diffw multiplies the 7 non-root joints of the 8-quat fake skeleton
+    env = _FakeEnvFull(rng, b_diffw=np.linspace(0.5, 1.5, 7))
+    action = rng.randn(75 + env.vf_dim)
+    ref_total, ref_comp = ref_rf.reward_func[rid](env, None, action, None)
+    kwargs = dict(b_diffw=env.cfg.b_diffw, vf_dim=env.vf_dim, dt=env.dt,
+                  obs_coord=env.cfg.obs_coord)
+    if rid.endswith("explicit"):
+        kwargs["body_vf_dim"] = env.body_vf_dim
+    total, comp = ours(
+        env.cur_state_dict(), env.expert, env.cur_t, action, **kwargs)
+    np.testing.assert_allclose(total, ref_total, atol=1e-9)
+    np.testing.assert_allclose(comp, ref_comp, atol=1e-9)
+
+
+@pytest.mark.parametrize("rid,ours", [
+    ("world_rfc_implicit_v2", world_rfc_implicit_v2),
+    ("world_rfc_implicit_v3", world_rfc_implicit_v3),
+])
+def test_world_rfc_v2_v3_match_reference(ref_rf, rid, ours):
+    rng = np.random.RandomState(10)
+    ws = {"k_p": 0.4, "k_wp": 0.4, "k_v": 0.005, "k_j": 100.0, "k_c": 100.0,
+          "k_vf": 1.0, "jpos_diffw": list(rng.uniform(0.5, 2.0, 8))}
+    env = _FakeEnvFull(rng, j=8, nb=8, ws=dict(ws))
+    action = rng.randn(75 + env.vf_dim)
+    ref_total, ref_comp = ref_rf.reward_func[rid](env, None, action, None)
+    total, comp = ours(
+        env.cur_state_dict(), env.expert, env.cur_t, action, ws=ws,
+        vf_dim=env.vf_dim, dt=env.dt,
+    )
+    np.testing.assert_allclose(total, ref_total, atol=1e-10)
+    np.testing.assert_allclose(comp, ref_comp, atol=1e-10)
+
+
+def test_qvel_helpers_match_khrylib(ref_rf):
+    import importlib
+
+    kmath = importlib.import_module("copycat.khrylib.utils.math")
+    rng = np.random.RandomState(11)
+    for _ in range(5):
+        q0 = np.concatenate(
+            [rng.randn(3), _rand_quats(rng, 1), rng.uniform(-4, 4, 69)])
+        q1 = np.concatenate(
+            [rng.randn(3), _rand_quats(rng, 1), rng.uniform(-4, 4, 69)])
+        np.testing.assert_allclose(
+            get_qvel_fd_new(q0, q1, 1 / 30),
+            kmath.get_qvel_fd_new(q0, q1, 1 / 30), atol=1e-8)
+        np.testing.assert_allclose(
+            get_qvel_fd_new(q0, q1, 1 / 30, "heading"),
+            kmath.get_qvel_fd_new(q0, q1, 1 / 30, "heading"), atol=1e-8)
+        np.testing.assert_allclose(
+            de_heading(q0[3:7]), kmath.de_heading(q0[3:7]), atol=1e-10)
+        v = rng.randn(3)
+        np.testing.assert_allclose(
+            transform_vec(v, q0[3:7], "heading"),
+            kmath.transform_vec(v, q0[3:7], "heading"), atol=1e-10)
+        np.testing.assert_allclose(
+            quat_mul_vec(q0[3:7], v), kmath.quat_mul_vec(q0[3:7], v),
+            atol=1e-10)
+
+
+def test_registry_covers_reference_registry(ref_rf):
+    assert set(ref_rf.reward_func) == set(UHC_REWARD_FUNCS)
 
 
 def test_expert_attrs_single_frame():

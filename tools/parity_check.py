@@ -155,6 +155,17 @@ def check_diffusion(path: str | None) -> bool:
     ours = diff.denoiser.apply(params, jnp.asarray(src), jnp.asarray(t))
     ok = _compare("denoiser.forward", np.asarray(ours), ref_out.numpy())
 
+    # the fused Pallas decoder-layer path (ops/fused_layer.py) must match the
+    # reference too — same params pytree, interpret mode + f32 on host
+    from egoego_release_tpu.ops.fused_layer import fused_denoiser_apply
+
+    fused = fused_denoiser_apply(
+        params, jnp.asarray(src), jnp.asarray(t), None,
+        cfg=diff.cfg, interpret=True, compute_dtype=jnp.float32,
+    )
+    ok &= _compare("denoiser.forward (fused pallas)", np.asarray(fused),
+                   ref_out.numpy())
+
     # layerwise decoder comparison inside the denoiser
     from egoego_release_tpu.models.transformer import Decoder
     from egoego_release_tpu.utils.torch_ckpt import convert_decoder
