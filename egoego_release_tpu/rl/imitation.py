@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from egoego_release_tpu.ops.mujoco_xml import load_mujoco_skeleton, qpos_fk
 from egoego_release_tpu.rl import rewards as rewards_mod
+from egoego_release_tpu.rl import sim_rewards as sim_rewards_mod
 from egoego_release_tpu.rl import uhc_rewards as uhc_rewards_mod
 from egoego_release_tpu.rl.mujoco_env import MujocoHumanoidEnv
 
@@ -44,8 +45,15 @@ class PhysicsImitation:
         # precomputed EXPERT trajectory (set_expert + expert_ind per step),
         # matching copycat's reward_id: world_rfc_implicit
         self.uhc_reward = uhc_rewards_mod.UHC_REWARD_FUNCS.get(reward_id)
+        # relive simulator-state families (quat/deep-mimic/local-world/
+        # world-quat) score against the same set_expert attrs
+        self.sim_reward = (
+            None if self.uhc_reward
+            else sim_rewards_mod.SIM_REWARD_FUNCS.get(reward_id)
+        )
         self.reward_fn = (
-            None if self.uhc_reward else rewards_mod.REWARD_FUNCS[reward_id]
+            None if (self.uhc_reward or self.sim_reward)
+            else rewards_mod.REWARD_FUNCS[reward_id]
         )
         self.reward_weights = reward_weights
         self.term_body_diff = term_body_diff
@@ -96,7 +104,9 @@ class PhysicsImitation:
         target_qpos: np.ndarray,      # (76,) kinematic target (step_ar output)
         ar_qpos: np.ndarray | None = None,   # raw ARNet qpos (v3 reward terms)
         prev_target_qpos: np.ndarray | None = None,
-        expert_ind: int | None = None,       # expert frame (UHC world rewards)
+        expert_ind: int | None = None,       # expert frame (UHC/sim rewards)
+        old_action: np.ndarray | None = None,   # fine_tune_* action proximity
+        kin_bquat: np.ndarray | None = None,    # fine_tune_* kinematic quats
     ):
         """-> (reward, done, info).  The PD tracks target_qpos[7:] through
         frame_skip substeps; reward scores the simulated pose against the
@@ -105,7 +115,41 @@ class PhysicsImitation:
         at expert_ind with the configured UHC world reward."""
         prev_bquat = self.env.get_body_quat()
         prev_qpos = self.env.get_qpos()
+        prev_head = self.env.get_head_pose()
         self.env.do_simulation(cc_action, np.asarray(target_qpos[7:], np.float64))
+
+        if self.sim_reward is not None:
+            assert self._expert is not None, "call set_expert() first"
+            ind = expert_ind if expert_ind is not None else 0
+            cur = self._uhc_cur_state(prev_qpos)
+            cur["head_pose"] = self.env.get_head_pose()
+            cur["prev_head_pose"] = prev_head
+            kwargs = dict(ws=self.reward_weights, dt=self.env.dt)
+            name = self._ctor_args["reward_id"]
+            if name.startswith("fine_tune"):
+                if name != "fine_tune_action_reward":  # the others score a
+                    # kinematic-pose proximity term
+                    kwargs["kin_bquat"] = (
+                        kin_bquat if kin_bquat is not None
+                        else self._expert["bquat"][ind][4:])
+                if name != "fine_tune_reward":
+                    kwargs["old_action"] = (
+                        old_action if old_action is not None
+                        else np.zeros_like(np.asarray(cc_action)))
+            if name == "deep_mimic_reward_v2_vf":
+                kwargs["vf_dim"] = self.env.vf_dim
+            args = [cur, self._expert, ind, np.asarray(cc_action)]
+            if "old_action" in kwargs:
+                args.append(kwargs.pop("old_action"))
+            reward, components = self.sim_reward(*args, **kwargs)
+            tgt_wbpos = self._target_pose(target_qpos)[1]
+            body_diff = float(
+                np.linalg.norm(self.env.get_wbody_pos() - tgt_wbpos, axis=1).sum()
+            )
+            done = body_diff > self.term_body_diff
+            return float(reward), done, {
+                "body_diff": body_diff, "components": components,
+            }
 
         if self.uhc_reward is not None:
             assert self._expert is not None, "call set_expert() first"

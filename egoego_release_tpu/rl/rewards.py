@@ -16,10 +16,11 @@ kinematic pose, so callers populate `RewardContext` with expert motion as the
 target/AR/GT sources for imitation training.
 
 Not ported (documented): dynamic_supervision_v2 is fully commented out in the
-reference (returns undefined locals — dead code, reward_function.py:999-1079);
-the quat_v2/deep_mimic/local_world/fine_tune families require the MuJoCo
-simulator state (qvel from the physics step) that the PD/RFC layer provides —
-out of scope with the physics backend (see REFERENCE_PARITY.md).
+reference (returns undefined locals — dead code, reward_function.py:999-1079).
+The simulator-state families (quat_v2/v3, deep_mimic*, multiplicable,
+local_world*, world_quat*, fine_tune*) live in rl/sim_rewards.py — host-side
+numpy over MuJoCo state, golden-tested in tests/test_sim_rewards.py — so the
+full reference registry is covered between the two modules.
 """
 
 from __future__ import annotations

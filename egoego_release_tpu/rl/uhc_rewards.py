@@ -275,7 +275,7 @@ def expert_physics_attrs(env, qpos_seq: np.ndarray, obs_coord: str = "heading") 
 
     qaddr = body_qposaddr(env.model)
     bquat, ee, com = [], [], []
-    wbquat, wbpos, body_com, ee_loc, rq_rmh = [], [], [], [], []
+    wbquat, wbpos, body_com, ee_loc, rq_rmh, head_info = [], [], [], [], [], []
     qvel, rlinv_local, rangv = [], [], []
     for fr in range(len(qpos_seq)):
         env.data.qpos[: qpos_seq.shape[1]] = qpos_seq[fr]
@@ -289,6 +289,7 @@ def expert_physics_attrs(env, qpos_seq: np.ndarray, obs_coord: str = "heading") 
         body_com.append(env_body_com(env))
         ee_loc.append(env_ee_local(env, obs_coord))
         rq_rmh.append(de_heading(qpos_seq[fr][3:7]))
+        head_info.append(env.get_head_pose())
         if fr > 0:
             qv = get_qvel_fd_new(qpos_seq[fr - 1], qpos_seq[fr], env.dt)
             qv = qv.clip(-10.0, 10.0)
@@ -313,6 +314,24 @@ def expert_physics_attrs(env, qpos_seq: np.ndarray, obs_coord: str = "heading") 
         bangvel = np.concatenate([bangvel[:1], bangvel], axis=0)
     else:
         bangvel = np.zeros((1, (bquat.shape[1] // 4) * 3))
+    head_info = np.asarray(head_info)
+    if len(head_info) > 1:  # hvel: world hpvel + angvel_fd (process_trajs.py:70-79)
+        hpvel = (head_info[1:, :3] - head_info[:-1, :3]) / env.dt
+        hqvel = np.stack([
+            get_angvel_fd(head_info[i - 1, 3:], head_info[i, 3:], env.dt)
+            for i in range(1, len(head_info))
+        ])
+        hvel = np.concatenate([hpvel, hqvel], axis=1)
+        hvel = np.concatenate([hvel[:1], hvel], axis=0)  # frame 0 copies 1
+        hvel_local = np.stack([
+            transform_vec(hvel[i, :3].copy(),
+                          head_info[max(i - 1, 0), 3:], "heading")
+            for i in range(len(head_info))
+        ])
+    else:
+        hvel = np.zeros((1, 6))
+        hvel_local = np.zeros((1, 3))
+    rpos0 = np.asarray(qpos_seq[0][:3], np.float64)
     return {
         "bquat": bquat,
         "bangvel": bangvel,
@@ -325,10 +344,18 @@ def expert_physics_attrs(env, qpos_seq: np.ndarray, obs_coord: str = "heading") 
         "ee_pos": np.asarray(ee_loc),
         "rq_rmh": np.asarray(rq_rmh),
         "qvel": np.asarray(qvel),
+        "rlinv": np.asarray(qvel)[:, :3].copy(),
         "rlinv_local": np.asarray(rlinv_local),
         "rangv": np.asarray(rangv),
+        "head_info": head_info,
+        "hvel": hvel,
+        "hvel_local": hvel_local,
         "len": len(qpos_seq),
         "meta": {"cyclic": False},
+        # identity sync (relive env reset relocation; no relocation here)
+        "start_pos": rpos0.copy(),
+        "sim_pos": rpos0.copy(),
+        "rel_heading": np.array([1.0, 0.0, 0.0, 0.0]),
     }
 
 
