@@ -25,6 +25,13 @@ import jax.numpy as jnp
 
 
 def main():
+    # rbg PRNG for the per-step sampling noise: measured +2% end-to-end over
+    # threefry on v5e (BASELINE.md round-2 sweep).  DDPM sampling has no
+    # noise-stream parity requirement (the reference draws from torch's RNG),
+    # so the faster generator is safe; golden-chain parity tests inject
+    # explicit noise and are unaffected.
+    jax.config.update("jax_default_prng_impl", "rbg")
+
     from egoego_release_tpu.diffusion import CondGaussianDiffusion, DiffusionConfig
     from egoego_release_tpu.diffusion.gaussian_diffusion import head_condition_mask
 

@@ -351,6 +351,8 @@ def expert_physics_attrs(env, qpos_seq: np.ndarray, obs_coord: str = "heading") 
         "hvel": hvel,
         "hvel_local": hvel_local,
         "len": len(qpos_seq),
+        "height_lb": float(np.min(np.asarray(qpos_seq)[:, 2])),
+        "head_height_lb": float(head_info[:, 2].min()),
         "meta": {"cyclic": False},
         # identity sync (relive env reset relocation; no relocation here)
         "start_pos": rpos0.copy(),

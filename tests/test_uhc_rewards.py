@@ -411,6 +411,96 @@ def test_expert_replay_ranks_highest_on_real_model():
     assert r_expert > 0.9  # replaying the expert is near-perfect
 
 
+def test_expert_attrs_match_reference_get_expert():
+    """Drive the reference's OWN copycat/utils/tools.get_expert pipeline
+    (velocity chains, frame-0 copies, +-10 clipping, attr ordering) through
+    an adapter over our MujocoHumanoidEnv, and check expert_physics_attrs
+    reproduces every shared attr on the real model."""
+    mujoco = pytest.importorskip("mujoco")
+    import importlib
+
+    tools = importlib.import_module("copycat.utils.tools")
+    from egoego_release_tpu.rl.mujoco_env import MujocoHumanoidEnv
+    from egoego_release_tpu.rl import uhc_rewards as U
+
+    xml = "/root/reference/kinpoly/assets/mujoco_models/humanoid_smpl_neutral_mesh.xml"
+    env = MujocoHumanoidEnv(xml, residual_force=False)
+    qaddr = U.body_qposaddr(env.model)
+
+    class _SimShim:
+        def __init__(self, env):
+            self._env = env
+
+        def get_state(self):
+            return (self._env.data.qpos.copy(), self._env.data.qvel.copy())
+
+        def set_state(self, state):
+            self._env.data.qpos[:], self._env.data.qvel[:] = state
+            mujoco.mj_forward(self._env.model, self._env.data)
+
+        def forward(self):
+            mujoco.mj_forward(self._env.model, self._env.data)
+
+    class _EnvAdapter:
+        """mujoco-py-flavored surface get_expert reads, backed by our env +
+        the same accessor helpers the rewards use."""
+
+        def __init__(self, env):
+            self._env = env
+            self.data = env.data
+            self.dt = env.dt
+            self.sim = _SimShim(env)
+            self.cfg = type("C", (), {"obs_coord": "heading"})()
+
+        def get_ee_pos(self, transform):
+            if transform is None:
+                return U.env_ee_wpos(self._env)
+            return U.env_ee_local(self._env, transform)
+
+        def get_wbody_pos(self):
+            return U.env_wbpos(self._env)
+
+        def get_wbody_quat(self):
+            return U.env_wbquat(self._env)
+
+        def get_body_quat(self):
+            return U.body_quat_local(
+                self._env.data.qpos.copy(), qaddr, self._env.body_names)
+
+        def get_com(self):
+            return U.env_com(self._env)
+
+        def get_body_com(self):
+            return U.env_body_com(self._env)
+
+        def get_head(self):
+            return self._env.get_head_pose()
+
+    rng = np.random.RandomState(21)
+    t, nq = 6, env.model.nq
+    qpos = np.zeros((t, nq))
+    qpos[:, 2], qpos[:, 3] = 0.91, 1.0
+    qpos[:, :3] += 0.1 * rng.randn(t, 3).cumsum(0)
+    qpos[:, 3:7] += 0.05 * rng.randn(t, 4)
+    qpos[:, 3:7] /= np.linalg.norm(qpos[:, 3:7], axis=1, keepdims=True)
+    qpos[:, 7:] = 0.1 * rng.randn(t, nq - 7)
+
+    ref = tools.get_expert(qpos.copy(), {"cyclic": False}, _EnvAdapter(env))
+    ours = U.expert_physics_attrs(env, qpos.copy())
+
+    for key in ["qpos", "bquat", "bangvel", "ee_wpos", "ee_pos", "com",
+                "body_com", "wbpos", "wbquat", "rq_rmh", "qvel",
+                "rlinv_local", "rangv"]:
+        np.testing.assert_allclose(
+            np.asarray(ours[key]), np.asarray(ref[key]), atol=1e-8,
+            err_msg=key)
+    np.testing.assert_allclose(ours["rlinv"], np.asarray(ref["rlinv"]),
+                               atol=1e-8)
+    assert ours["len"] == ref["len"]
+    np.testing.assert_allclose(ours["head_info"], np.asarray(ref["head_pose"]),
+                               atol=1e-8)
+
+
 def test_physics_imitation_with_uhc_reward():
     """PhysicsImitation(reward_id='world_rfc_implicit') steps the simulator
     and scores against the set_expert trajectory (copycat loop shape)."""
