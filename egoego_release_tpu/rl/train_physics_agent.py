@@ -36,20 +36,42 @@ from egoego_release_tpu.rl.trpo import ZFilter
 class PhysicsPPO:
     """Host-rollout PPO over PhysicsImitation.
 
-    Observation = the env's proprioceptive state + target differences
-    (heading-free qpos, qvel, target joint offsets), matching the spirit of
-    the UHC cc_obs (humanoid_im.py get_full_obs); the exact v1/v2 obs
-    variants are config details of the pretrained UHC checkpoints, which are
-    not redistributable.
+    Observation: by default the env's proprioceptive state + target
+    differences (heading-free qpos, qvel, target joint offsets); pass
+    obs_v=0/1/2 to use the exact UHC observation contract
+    (humanoid_im.py get_full_obs/get_full_obs_v1/get_full_obs_v2, ported and
+    golden-tested in rl/uhc_obs.py — obs_v 2 is the bundled copycat.yml
+    config), which makes the policy input layout checkpoint-compatible.
     """
 
     def __init__(self, sess: PhysicsImitation, hsize=(256, 128),
                  gamma=0.95, lam=0.95, clip_eps=0.2,
                  policy_lr=5e-5, value_lr=3e-4, epochs=5,
-                 actor_type="gauss", num_primitive=8):
+                 actor_type="gauss", num_primitive=8,
+                 obs_v=None, obs_specs=None):
         self.sess = sess
         ndof = sess.env.ndof
-        self.obs_dim = (sess.env.model.nq - 2) + sess.env.nv + ndof
+        # obs_v 0/1/2 selects the UHC observation contract (rl/uhc_obs.py,
+        # golden-tested vs humanoid_im.get_full_obs*); None keeps the
+        # simpler proprioceptive default below
+        self.obs_v = obs_v
+        self.obs_specs = obs_specs
+        if obs_v is None:
+            self.obs_dim = (sess.env.model.nq - 2) + sess.env.nv + ndof
+        else:
+            from egoego_release_tpu.rl.uhc_obs import DEFAULT_OBS_SPECS
+
+            s = dict(DEFAULT_OBS_SPECS, **(obs_specs or {}))
+            nq, nv = sess.env.model.nq, sess.env.nv
+            nb = min(sess.env.model.nbody, 25) - 1
+            vel = 6 if s["obs_vel"] == "root" else nv
+            if obs_v == 0:
+                self.obs_dim = (int(s["obs_heading"]) + (nq - 2) + vel
+                                + (nq - 7) + int(s["obs_phase"]))
+            else:
+                self.obs_dim = (4 + 3 * (nq - 2) + vel + 1 + 2
+                                + 2 * (3 * nb) + 2 * (4 * nb)
+                                + (2 * (3 * nb) if obs_v == 1 else 0))
         self.action_dim = sess.env.action_dim
         self.gamma, self.lam, self.clip_eps, self.epochs = gamma, lam, clip_eps, epochs
         # actor_type "mcp" = the UHC configs' mixture-of-primitives actor
@@ -73,8 +95,23 @@ class PhysicsPPO:
 
         self._act = jax.jit(act_fn)
 
-    def obs(self, target_qpos: np.ndarray, sess=None) -> np.ndarray:
+    def obs(self, target_qpos: np.ndarray, sess=None, cur_t: int = 0) -> np.ndarray:
         sess = sess or self.sess
+        if self.obs_v is not None:
+            from egoego_release_tpu.rl import uhc_rewards as U
+            from egoego_release_tpu.rl.uhc_obs import uhc_observation
+
+            assert sess._expert is not None, "obs_v needs set_expert()"
+            cur = {
+                "qpos": sess.env.get_qpos(),
+                "qvel": sess.env.get_qvel(),
+                "wbpos": U.env_wbpos(sess.env),
+                "body_com": U.env_body_com(sess.env),
+                "wbquat": U.env_wbquat(sess.env),
+            }
+            return uhc_observation(cur, sess._expert, cur_t,
+                                   obs_v=self.obs_v,
+                                   specs=self.obs_specs).astype(np.float32)
         qpos = sess.env.get_qpos()
         qvel = sess.env.get_qvel()
         return np.concatenate(
@@ -100,16 +137,18 @@ class PhysicsPPO:
         sess = sess or self.sess
         zf = self.zfilter
         sess.reset(qpos0)
-        if sess.uhc_reward is not None:
-            # UHC world rewards score against the expert trajectory at the
-            # step's time index (copycat get_expert_index) — the kinematic
-            # targets ARE the expert here
+        if (sess.uhc_reward is not None or sess.sim_reward is not None
+                or self.obs_v is not None):
+            # UHC/relive sim rewards and the UHC obs contract score against
+            # the expert trajectory at the step's time index (copycat
+            # get_expert_index) — the kinematic targets ARE the expert here
             sess.set_expert(np.asarray(targets))
+            sess.reset(qpos0)  # set_expert restores state, reset for clarity
         raw_l, obs_l, act_l, logp_l, val_l, rew_l, done_l = [], [], [], [], [], [], []
         for t in range(horizon):
             ind = min(t, len(targets) - 1)
             target = targets[ind]
-            raw = self.obs(target, sess)
+            raw = self.obs(target, sess, cur_t=ind)
             o = ZFilter.apply(zf, raw)
             key, ka = jax.random.split(key)
             a, logp, val = self._act(state, jnp.asarray(o), ka)
@@ -120,7 +159,8 @@ class PhysicsPPO:
             rew_l.append(r); done_l.append(done)
             if done:
                 break
-        last_o = ZFilter.apply(zf, self.obs(targets[-1], sess))
+        last_o = ZFilter.apply(
+            zf, self.obs(targets[-1], sess, cur_t=len(targets) - 1))
         last_val = float(self.value.apply(state["value"], jnp.asarray(last_o)[None])[0])
         return key, {
             "raw_obs": np.stack(raw_l),
@@ -255,13 +295,16 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=100)
     p.add_argument("--horizon", type=int, default=90)
     p.add_argument("--reward_id", default="dynamic_supervision_v4")
+    p.add_argument("--obs_v", type=int, default=None, choices=(0, 1, 2),
+                   help="UHC observation contract (humanoid_im get_full_obs*)"
+                        "; default keeps the proprioceptive obs")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
     from egoego_release_tpu.data.kinpoly import StateARDataset
 
     sess = PhysicsImitation(args.xml, reward_id=args.reward_id)
-    agent = PhysicsPPO(sess)
+    agent = PhysicsPPO(sess, obs_v=args.obs_v)
     ds = StateARDataset(args.expert_path, fr_num=args.horizon, train=True,
                         seed=args.seed)
     key = jax.random.PRNGKey(args.seed)

@@ -273,6 +273,12 @@ def expert_physics_attrs(env, qpos_seq: np.ndarray, obs_coord: str = "heading") 
     +-10 (tools.py:29-37).  Replay uses mj_kinematics + mj_comPos only."""
     import mujoco
 
+    # save/restore the sim state around the replay, as the reference's
+    # get_expert does (tools.py:6,:73-74) — otherwise the caller's rollout
+    # would start from the LAST replayed expert frame
+    saved_qpos = env.data.qpos.copy()
+    saved_qvel = env.data.qvel.copy()
+
     qaddr = body_qposaddr(env.model)
     bquat, ee, com = [], [], []
     wbquat, wbpos, body_com, ee_loc, rq_rmh, head_info = [], [], [], [], [], []
@@ -314,6 +320,10 @@ def expert_physics_attrs(env, qpos_seq: np.ndarray, obs_coord: str = "heading") 
         bangvel = np.concatenate([bangvel[:1], bangvel], axis=0)
     else:
         bangvel = np.zeros((1, (bquat.shape[1] // 4) * 3))
+    env.data.qpos[:] = saved_qpos
+    env.data.qvel[:] = saved_qvel
+    mujoco.mj_forward(env.model, env.data)
+
     head_info = np.asarray(head_info)
     if len(head_info) > 1:  # hvel: world hpvel + angvel_fd (process_trajs.py:70-79)
         hpvel = (head_info[1:, :3] - head_info[:-1, :3]) / env.dt
