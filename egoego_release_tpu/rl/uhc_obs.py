@@ -93,10 +93,13 @@ def get_full_obs(cur: dict, expert: dict, cur_t: int, start_ind: int = 0,
     return np.concatenate(obs)
 
 
-def _obs_v12(cur: dict, expert: dict, cur_t: int, start_ind: int,
-             specs: dict | None, with_com: bool) -> np.ndarray:
-    """Shared v1/v2 body (:163-266 / :285-366); with_com adds the two
-    body-com blocks that v2 drops."""
+def obs_v12_core(cur: dict, target: dict, specs: dict | None,
+                 with_com: bool) -> np.ndarray:
+    """Shared v1/v2 body (:163-266 / :285-366) over an explicit target dict
+    (qpos, wbpos, body_com, wbquat); with_com adds the two body-com blocks
+    that v2 drops.  The relive AR env's control-policy obs
+    (humanoid_ar_v1.py:165-256) is this same computation with the kinematic
+    TARGET pose in place of the next expert frame — see rl/ar_obs.py."""
     s = dict(DEFAULT_OBS_SPECS, **(specs or {}))
     base_rot = np.asarray(s.get("base_rot", BASE_ROT), np.float64)
     qpos = np.asarray(cur["qpos"], np.float64).copy()
@@ -108,8 +111,7 @@ def _obs_v12(cur: dict, expert: dict, cur_t: int, start_ind: int,
     hq = get_heading_q(curr_root_quat)
     obs.append(hq)
 
-    ind1 = expert_index(cur_t + 1, start_ind, expert)
-    target_body_qpos = np.asarray(expert["qpos"][ind1], np.float64).copy()
+    target_body_qpos = np.asarray(target["qpos"], np.float64).copy()
     target_root_quat = remove_base_rot(target_body_qpos[3:7], base_rot)
 
     qpos[3:7] = de_heading(curr_root_quat)
@@ -141,7 +143,7 @@ def _obs_v12(cur: dict, expert: dict, cur_t: int, start_ind: int,
     rel_pos = transform_vec(rel_pos, curr_root_quat, s["obs_coord"]).ravel()
     obs.append(rel_pos[:2])
 
-    target_jpos = np.asarray(expert["wbpos"][ind1], np.float64)
+    target_jpos = np.asarray(target["wbpos"], np.float64)
     curr_jpos = np.asarray(cur["wbpos"], np.float64).reshape(-1, 3)
     r_jpos = transform_vec_batch(curr_jpos - qpos[None, :3],
                                  curr_root_quat, s["obs_coord"])
@@ -151,7 +153,7 @@ def _obs_v12(cur: dict, expert: dict, cur_t: int, start_ind: int,
     obs.append(diff_jpos.ravel())
 
     if with_com:
-        target_com = np.asarray(expert["body_com"][ind1], np.float64)
+        target_com = np.asarray(target["body_com"], np.float64)
         curr_com = np.asarray(cur["body_com"], np.float64).reshape(-1, 3)
         r_com = transform_vec_batch(curr_com - qpos[None, :3],
                                     curr_root_quat, s["obs_coord"])
@@ -161,7 +163,7 @@ def _obs_v12(cur: dict, expert: dict, cur_t: int, start_ind: int,
             curr_root_quat, s["obs_coord"])
         obs.append(diff_com.ravel())
 
-    target_quat = np.asarray(expert["wbquat"][ind1], np.float64).reshape(-1, 4)
+    target_quat = np.asarray(target["wbquat"], np.float64).reshape(-1, 4)
     cur_quat = np.asarray(cur["wbquat"], np.float64).reshape(-1, 4).copy()
     if cur_quat[0, 0] == 0:
         cur_quat = target_quat.copy()
@@ -175,16 +177,26 @@ def _obs_v12(cur: dict, expert: dict, cur_t: int, start_ind: int,
     return np.concatenate(obs)
 
 
+def _expert_target(expert: dict, cur_t: int, start_ind: int) -> dict:
+    """Next-frame expert target (get_expert_* with delta_t=1, :698-751)."""
+    ind1 = expert_index(cur_t + 1, start_ind, expert)
+    return {"qpos": expert["qpos"][ind1], "wbpos": expert["wbpos"][ind1],
+            "body_com": expert["body_com"][ind1],
+            "wbquat": expert["wbquat"][ind1]}
+
+
 def get_full_obs_v1(cur: dict, expert: dict, cur_t: int, start_ind: int = 0,
                     specs: dict | None = None) -> np.ndarray:
     """obs_v 1 (:163-266)."""
-    return _obs_v12(cur, expert, cur_t, start_ind, specs, with_com=True)
+    return obs_v12_core(cur, _expert_target(expert, cur_t, start_ind),
+                        specs, with_com=True)
 
 
 def get_full_obs_v2(cur: dict, expert: dict, cur_t: int, start_ind: int = 0,
                     specs: dict | None = None) -> np.ndarray:
     """obs_v 2 (:285-366) — the bundled copycat.yml config (obs_v: 2)."""
-    return _obs_v12(cur, expert, cur_t, start_ind, specs, with_com=False)
+    return obs_v12_core(cur, _expert_target(expert, cur_t, start_ind),
+                        specs, with_com=False)
 
 
 def uhc_observation(cur: dict, expert: dict, cur_t: int, start_ind: int = 0,
