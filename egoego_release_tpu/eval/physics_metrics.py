@@ -33,6 +33,30 @@ SIT_CONTACT_BODIES = ("Pelvis", "L_Hip", "R_Hip", "L_Knee", "R_Knee")
 STEP_CONTACT_BODIES = ("L_Knee", "L_Ankle", "R_Knee", "R_Ankle")
 FOOT_BODIES = ("L_Toe", "R_Toe")
 
+# the *_all MJCF's object-slot layout (humanoid_ar_v1.py:41-43,
+# eval_amass_metrics.py:629-631): sit=chair(7), push=table+box(14),
+# avoid=can(7), step=step(7); total object qpos = 35
+ACTION_INDEX_MAP = (0, 7, 21, 28)
+ACTION_LEN = (7, 14, 7, 7)
+ACTION_NAMES = ("sit", "push", "avoid", "step")
+_PARKED_OBJ_XY = 100.0
+
+
+def convert_obj_qpos(action_one_hot: np.ndarray,
+                     obj_pose: np.ndarray) -> np.ndarray:
+    """Build the 35-dim object qpos for the `*_all` model from one action's
+    object pose (eval_amass_metrics.py:99-117): inactive object slots are
+    parked far away at ((i+1)*100, 100, 0)."""
+    out = np.zeros(35)
+    for i in range(5):
+        out[i * 7: i * 7 + 3] = [(i + 1) * _PARKED_OBJ_XY, _PARKED_OBJ_XY, 0]
+    if np.sum(action_one_hot) == 0:
+        return out
+    action_idx = int(np.nonzero(action_one_hot)[0][0])
+    start = ACTION_INDEX_MAP[action_idx]
+    out[start: start + ACTION_LEN[action_idx]] = obj_pose
+    return out
+
 
 def contiguous_regions(condition: np.ndarray) -> np.ndarray:
     """(start, stop) rows for each contiguous True run (:324-348)."""

@@ -35,6 +35,43 @@ def _standing_qpos(env, t=8):
     return q
 
 
+def test_convert_obj_qpos_matches_reference():
+    """convert_obj_qpos vs the reference's own function (AST-extracted:
+    eval_amass_metrics.py imports mujoco-py at module level, but :99-117 is
+    pure numpy; its action_index_map/action_len globals come from :629-631)."""
+    import ast
+
+    from egoego_release_tpu.eval.physics_metrics import (
+        ACTION_INDEX_MAP,
+        ACTION_LEN,
+        convert_obj_qpos,
+    )
+
+    src = open("/root/reference/kinpoly/scripts/eval_amass_metrics.py").read()
+    tree = ast.parse(src)
+    module = ast.Module(
+        body=[n for n in tree.body
+              if isinstance(n, ast.FunctionDef) and n.name == "convert_obj_qpos"],
+        type_ignores=[],
+    )
+    ns = {"np": np, "action_index_map": list(ACTION_INDEX_MAP),
+          "action_len": list(ACTION_LEN)}
+    exec(compile(module, "eval_amass_metrics.py", "exec"), ns)
+    ref_fn = ns["convert_obj_qpos"]
+
+    rng = np.random.RandomState(0)
+    # no action -> all parked
+    np.testing.assert_allclose(
+        convert_obj_qpos(np.zeros(4), rng.randn(7)),
+        ref_fn(np.zeros(4), rng.randn(7)))
+    for idx, ln in enumerate(ACTION_LEN):
+        one_hot = np.zeros(4)
+        one_hot[idx] = 1.0
+        pose = rng.randn(ln)
+        np.testing.assert_allclose(
+            convert_obj_qpos(one_hot, pose), ref_fn(one_hot, pose))
+
+
 def test_contiguous_regions():
     c = np.array([0, 1, 1, 0, 0, 1, 0, 1], bool)
     reg = contiguous_regions(c)
