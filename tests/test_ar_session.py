@@ -1,0 +1,116 @@
+"""The two-level AR -> physics loop (ARPhysicsSession) on real MuJoCo.
+
+Covers rl/ar_session.py against the HumanoidAREnv.step semantics
+(humanoid_ar_v1.py:554-650): step_ar target integration, cc-policy
+dispatch on the exact cc_obs layout, PD-simulated stepping, the
+train-mode GT-divergence guard, episode termination, and ar_fail_safe.
+"""
+
+import numpy as np
+import pytest
+
+mujoco = pytest.importorskip("mujoco")
+
+from egoego_release_tpu.rl.ar_session import ARPhysicsSession  # noqa: E402
+
+XML = "/root/reference/kinpoly/assets/mujoco_models/humanoid_smpl_neutral_mesh.xml"
+
+
+def _context(rng, t=8, nq=76):
+    qpos = np.zeros((t, nq))
+    qpos[:, 2], qpos[:, 3] = 0.91, 1.0
+    qpos[:, 7:] = 0.02 * rng.randn(t, nq - 7)
+    return {
+        "qpos": qpos,
+        "head_pose": np.concatenate(
+            [rng.randn(t, 3) * 0.05 + [0, 0, 1.6],
+             np.tile([1.0, 0, 0, 0], (t, 1))], axis=1),
+        "head_vels": rng.randn(t, 6) * 0.01,
+        "obj_head_relative_poses": rng.randn(t, 7) * 0.01,
+    }
+
+
+def _hold_action(qpos):
+    """AR action that re-targets the current pose with zero root velocity
+    (step_ar layout: [z, quat, eulers(69), root qvel(6)])."""
+    return np.concatenate([qpos[2:], np.zeros(6)]).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def sess():
+    rng = np.random.RandomState(0)
+    w = 0.01 * rng.randn(715, 75)  # cc_obs v1 -> ndof linear policy
+
+    def cc_policy(obs):
+        return obs @ w
+
+    s = ARPhysicsSession(XML, cc_policy, episode_len=6, residual_force=False)
+    return s
+
+
+def test_ar_loop_runs_to_episode_end(sess):
+    rng = np.random.RandomState(1)
+    ctx = _context(rng)
+    sess.set_context(ctx)
+    sess.reset(ctx["qpos"][0])
+    steps = 0
+    done = False
+    while not done and steps < 10:
+        ar_obs, r, done, info = sess.step(_hold_action(sess.env.get_qpos()))
+        assert np.isfinite(r) and np.isfinite(ar_obs).all()
+        assert info["cc_obs"].shape == (715,)  # relive v1 layout
+        assert "body_gt_diff" in info  # train-mode guard active
+        steps += 1
+    assert done and steps <= 6
+    assert info["end"] or info["fail"]
+
+
+def test_policy_v2_direct_target(sess):
+    rng = np.random.RandomState(2)
+    ctx = _context(rng)
+    sess.set_context(ctx)
+    sess.reset(ctx["qpos"][0])
+    _, r, done, info = sess.step(target_qpos=ctx["qpos"][1])
+    assert np.isfinite(r)
+    assert info["percent"] == pytest.approx(1 / 8)
+
+
+def test_gt_divergence_guard_fails_far_targets(sess):
+    """A context whose GT poses are far away trips body_gt_diff > 12."""
+    rng = np.random.RandomState(3)
+    ctx = _context(rng)
+    ctx["qpos"] = ctx["qpos"].copy()
+    ctx["qpos"][:, :2] += 50.0  # GT 50 m away
+    sess.set_context(ctx)
+    sess.reset(np.concatenate([[0, 0, 0.91, 1.0], np.zeros(72)]))
+    _, _, done, info = sess.step(_hold_action(sess.env.get_qpos()))
+    assert info["fail"] and done and info["body_gt_diff"] > 12
+
+
+def test_ar_fail_safe_resets_to_playback(sess):
+    rng = np.random.RandomState(4)
+    ctx = _context(rng)
+    ctx["ar_qpos"] = ctx["qpos"] + 0.0
+    sess.set_context(ctx)
+    sess.reset(ctx["qpos"][0])
+    sess.step(_hold_action(sess.env.get_qpos()))
+    sess.ar_fail_safe()
+    t = min(sess.cur_t + 1, 7)
+    np.testing.assert_allclose(sess.env.get_qpos(), ctx["ar_qpos"][t],
+                               atol=1e-12)
+
+
+def test_uhc_reward_session():
+    """The session also drives the UHC/sim reward families (set_expert on
+    reset)."""
+    rng = np.random.RandomState(5)
+    w = 0.01 * rng.randn(715, 75)
+    s = ARPhysicsSession(XML, lambda o: o @ w,
+                         reward_id="world_rfc_implicit", episode_len=3,
+                         residual_force=False)
+    ctx = _context(rng)
+    s.set_context(ctx)
+    s.reset(ctx["qpos"][0])
+    _, r, done, info = s.step(_hold_action(s.env.get_qpos()))
+    assert 0.0 < r <= 1.0
+    assert info["components"].shape == (5,)
