@@ -49,6 +49,7 @@ class ARPhysicsSession:
         episode_len: int = 200,   # cc_cfg.env_episode_len
         mode: str = "train",
         wild: bool = False,
+        body_diff_fail: float | None = None,   # override :612-625 thresholds
         **env_kwargs,
     ):
         self.im = PhysicsImitation(xml_path, reward_id=reward_id,
@@ -62,9 +63,11 @@ class ARPhysicsSession:
         self.episode_len = episode_len
         self.mode = mode
         self.wild = wild
+        self.body_diff_fail = body_diff_fail
         self.ar_context: dict | None = None
         self.cur_t = 0
         self.start_ind = 0
+        self._prev_target: np.ndarray | None = None
         # body_ipos: body-frame inertial offsets -> target body_com
         # (xipos = xpos + R_body @ ipos)
         self._ipos = np.asarray(self.env.model.body_ipos[1:U._lim(self.env)])
@@ -82,6 +85,7 @@ class ARPhysicsSession:
               start_ind: int = 0):
         self.cur_t = 0
         self.start_ind = start_ind
+        self._prev_target = None
         self.env.reset(init_qpos, init_qvel)
         if self.im.uhc_reward is not None or self.im.sim_reward is not None:
             self.im.set_expert(np.asarray(self.ar_context["qpos"]))
@@ -138,18 +142,28 @@ class ARPhysicsSession:
 
         ind = min(self.start_ind + self.cur_t,
                   self.ar_context["len"] - 1)
-        reward, _, info = self.im.step(cc_a, target_qpos, expert_ind=ind)
+        # the ARNet raw prediction feeding the v3 reward's action terms IS
+        # the step_ar output here (ar_context['ar_qpos'] in the reference)
+        reward, _, info = self.im.step(
+            cc_a, target_qpos, expert_ind=ind,
+            ar_qpos=target_qpos, prev_target_qpos=self._prev_target)
+        self._prev_target = np.asarray(target_qpos)
         self.cur_t += 1
 
         # termination (:612-630); body_diff vs the kinematic target comes
         # from PhysicsImitation; train mode adds the GT-pose guard
-        fail = info["body_diff"] > (8.0 if self.wild else BODY_DIFF_FAIL)
+        thresh = (self.body_diff_fail if self.body_diff_fail is not None
+                  else (8.0 if self.wild else BODY_DIFF_FAIL))
+        fail = info["body_diff"] > thresh
         if self.mode == "train" and not self.wild:
             gt_wbpos = self._target_dict(
                 np.asarray(self.ar_context["qpos"][ind], np.float64))["wbpos"]
             body_gt_diff = float(np.linalg.norm(
                 (U.env_wbpos(self.env) - gt_wbpos).reshape(-1, 3), axis=1).sum())
-            fail = fail or body_gt_diff > BODY_GT_DIFF_FAIL
+            gt_thresh = (np.inf if self.body_diff_fail is not None
+                         and np.isinf(self.body_diff_fail)
+                         else BODY_GT_DIFF_FAIL)
+            fail = fail or body_gt_diff > gt_thresh
             info["body_gt_diff"] = body_gt_diff
         end = (self.cur_t >= self.episode_len
                or self.cur_t + self.start_ind >= self.ar_context["len"])

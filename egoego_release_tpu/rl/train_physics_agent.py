@@ -321,3 +321,77 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+class ARAgentPPO(PhysicsPPO):
+    """PPO fine-tuning of the AR (kinematic) policy THROUGH the physics loop
+    — the reference's AgentAR physics training mode (relive/core/agent_ar.py
+    driving HumanoidAREnv.step): the cc controller inside ARPhysicsSession is
+    frozen; the learned policy outputs 80-dim AR actions (step_ar layout)
+    and observes get_ar_obs_v1.  Reuses the PhysicsPPO GAE/clipped-update
+    machinery with AR-loop rollouts."""
+
+    def __init__(self, ar_sess, obs_dim: int, hsize=(256, 128), **kw):
+        from egoego_release_tpu.models.trajar import ACTION_DIM
+
+        super().__init__(ar_sess.im, hsize=hsize, **kw)
+        self.ar_sess = ar_sess
+        self.obs_dim = obs_dim
+        self.action_dim = ACTION_DIM
+        self.policy = make_policy(ACTION_DIM, hsize, "gauss")
+        self.value = ValueNet(hsize)
+        self.zfilter = ZFilter.init(obs_dim)
+        self._update = jax.jit(self._update_impl)
+        self._flat_update = jax.jit(self._flat_update_impl)
+
+        def act_fn(state, o, ka):
+            mean, log_std = self.policy.apply(state["policy"], o[None])
+            a = mean + jnp.exp(log_std) * jax.random.normal(ka, mean.shape)
+            logp = gaussian_logprob(mean, log_std, a)[0]
+            val = self.value.apply(state["value"], o[None])[0]
+            return a[0], logp, val
+
+        self._act = jax.jit(act_fn)
+
+    def collect(self, state, key, ar_context: dict, horizon: int, sess=None):
+        sess = sess or self.ar_sess
+        zf = self.zfilter
+        sess.set_context(ar_context)
+        sess.reset(np.asarray(ar_context["qpos"][0]))
+        raw = sess.ar_obs()
+        raw_l, obs_l, act_l, logp_l, val_l, rew_l, done_l = [], [], [], [], [], [], []
+        for _ in range(horizon):
+            o = ZFilter.apply(zf, raw)
+            key, ka = jax.random.split(key)
+            a, logp, val = self._act(state, jnp.asarray(o), ka)
+            a = np.asarray(a)
+            next_raw, r, done, _ = sess.step(a)
+            raw_l.append(raw); obs_l.append(np.asarray(o)); act_l.append(a)
+            logp_l.append(float(logp)); val_l.append(float(val))
+            rew_l.append(r); done_l.append(done)
+            raw = next_raw
+            if done:
+                break
+        last_o = ZFilter.apply(zf, raw)
+        last_val = float(self.value.apply(state["value"],
+                                          jnp.asarray(last_o)[None])[0])
+        return key, {
+            "raw_obs": np.stack(raw_l),
+            "obs": np.stack(obs_l), "actions": np.stack(act_l),
+            "logps": np.asarray(logp_l, np.float32),
+            "values": np.asarray(val_l, np.float32),
+            "rewards": np.asarray(rew_l, np.float32),
+            "dones": np.asarray(done_l),
+            "last_value": last_val,
+        }
+
+    def iterate(self, state, key, ar_context: dict, horizon: int):
+        key, batch = self.collect(state, key, ar_context, horizon)
+        self.zfilter = ZFilter.update(self.zfilter, batch["raw_obs"])
+        jb = {k: jnp.asarray(v) for k, v in batch.items() if k != "raw_obs"}
+        new_state, losses = self._update(state, jb)
+        return new_state, key, {
+            "reward_mean": float(batch["rewards"].mean()),
+            "episode_len": len(batch["rewards"]),
+            **{k: float(v) for k, v in losses.items()},
+        }

@@ -100,6 +100,56 @@ def test_ar_fail_safe_resets_to_playback(sess):
                                atol=1e-12)
 
 
+def test_ar_agent_ppo_iterates():
+    """ARAgentPPO: one PPO iteration of the AR policy through the physics
+    loop (frozen cc policy) moves the policy parameters."""
+    import jax
+
+    from egoego_release_tpu.rl.train_physics_agent import ARAgentPPO
+
+    rng = np.random.RandomState(6)
+    w = 0.01 * rng.randn(715, 75)
+    # an untrained (random-init) AR policy emits garbage absolute poses, so
+    # disable the divergence guards to exercise multi-step credit assignment
+    # (the reference warm-starts from the supervised ARNet instead)
+    sess = ARPhysicsSession(XML, lambda o: o @ w, episode_len=4,
+                            residual_force=False, body_diff_fail=np.inf)
+    ctx = _context(rng)
+    sess.set_context(ctx)
+    sess.reset(ctx["qpos"][0])
+    obs_dim = sess.ar_obs().shape[0]
+
+    agent = ARAgentPPO(sess, obs_dim=obs_dim, hsize=(32, 16), epochs=2)
+    assert agent.action_dim == 80
+    key = jax.random.PRNGKey(0)
+    key, k0 = jax.random.split(key)
+    state = agent.init_state(k0)
+    before = jax.tree.map(np.copy, state["policy"])
+    state, key, m = agent.iterate(state, key, ctx, horizon=4)
+    assert np.isfinite(m["reward_mean"]) and np.isfinite(m["policy_loss"])
+    moved = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - np.asarray(b)).max()),
+        before, state["policy"])
+    assert max(jax.tree.leaves(moved)) > 0
+
+
+def test_v3_reward_through_ar_session():
+    """dynamic_supervision_v3 (the statear production reward) gets its AR
+    context terms from the step_ar output inside the session."""
+    rng = np.random.RandomState(7)
+    w = 0.01 * rng.randn(715, 75)
+    s = ARPhysicsSession(XML, lambda o: o @ w,
+                         reward_id="dynamic_supervision_v3", episode_len=3,
+                         residual_force=False)
+    ctx = _context(rng)
+    s.set_context(ctx)
+    s.reset(ctx["qpos"][0])
+    _, r1, _, _ = s.step(_hold_action(s.env.get_qpos()))
+    _, r2, _, _ = s.step(_hold_action(s.env.get_qpos()))
+    assert np.isfinite(r1) and np.isfinite(r2)
+    assert 0.0 < r1 <= 1.0
+
+
 def test_uhc_reward_session():
     """The session also drives the UHC/sim reward families (set_expert on
     reset)."""
