@@ -100,6 +100,34 @@ def test_ar_fail_safe_resets_to_playback(sess):
                                atol=1e-12)
 
 
+def test_target_dict_matches_real_mujoco(sess):
+    """_target_dict's wbpos/wbquat/body_com (FK + body_ipos offsets) match a
+    real MuJoCo replay of the same qpos (xpos/xquat/xipos)."""
+    rng = np.random.RandomState(8)
+    nq = sess.env.model.nq
+    q = np.zeros(nq)
+    q[:3] = [0.3, -0.2, 0.95]
+    quat = rng.randn(4)
+    q[3:7] = quat / np.linalg.norm(quat)
+    q[7:] = 0.2 * rng.randn(nq - 7)
+
+    tgt = sess._target_dict(q)
+
+    sess.env.data.qpos[:] = q
+    mujoco.mj_kinematics(sess.env.model, sess.env.data)
+    nb = tgt["wbpos"].reshape(-1, 3).shape[0]
+    np.testing.assert_allclose(
+        tgt["wbpos"].reshape(-1, 3), sess.env.data.xpos[1:nb + 1], atol=2e-5)
+    ref_q = sess.env.data.xquat[1:nb + 1]
+    ours_q = tgt["wbquat"].reshape(-1, 4)
+    # quats match up to sign
+    dots = np.abs((ref_q * ours_q).sum(1))
+    np.testing.assert_allclose(dots, 1.0, atol=2e-5)
+    np.testing.assert_allclose(
+        tgt["body_com"].reshape(-1, 3), sess.env.data.xipos[1:nb + 1],
+        atol=2e-5)
+
+
 def test_ar_agent_ppo_iterates():
     """ARAgentPPO: one PPO iteration of the AR policy through the physics
     loop (frozen cc policy) moves the policy parameters."""
