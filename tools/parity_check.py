@@ -270,6 +270,40 @@ def check_gravitynet(path: str | None) -> bool:
                     ref_pred["pred_normal"].numpy())
 
 
+def check_pwcnet() -> bool:
+    """PWC-DC net parity on a random-init reference module (the reference
+    ships no PWC weights; conversion parity defines the contract)."""
+    import torch
+
+    from egoego_release_tpu.models.pwcnet import convert_pwcnet, pwcnet_forward
+
+    print("== PWC-DC optical-flow net (random init, 64x64) ==")
+    if not hasattr(torch.nn.init, "kaiming_normal"):
+        torch.nn.init.kaiming_normal = torch.nn.init.kaiming_normal_
+    orig_cuda = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    try:
+        reforacle.add_reference_paths()
+        if "/root/reference/kinpoly" not in sys.path:
+            sys.path.insert(0, "/root/reference/kinpoly")
+        import importlib
+
+        pw = importlib.import_module("relive.data_process.PWCNet")
+        torch.manual_seed(0)
+        ref = pw.PWCDCNet().eval()
+        params = convert_pwcnet(
+            {k: v.numpy() for k, v in ref.state_dict().items()})
+        rng = np.random.RandomState(5)
+        im = rng.rand(1, 64, 64, 6).astype(np.float32)
+        with torch.no_grad():
+            ref_flow = ref(torch.from_numpy(im.transpose(0, 3, 1, 2)))
+        ours = pwcnet_forward(params, im[..., :3], im[..., 3:])
+    finally:
+        torch.Tensor.cuda = orig_cuda
+    return _compare("pwcnet.flow2", np.asarray(ours),
+                    ref_flow.numpy().transpose(0, 2, 3, 1), atol=5e-4)
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--diffusion_ckpt", default=None)
@@ -293,6 +327,8 @@ def main():
     if args.selftest or args.gravitynet_ckpt:
         ok &= check_gravitynet(args.gravitynet_ckpt)
         any_run = True
+    if args.selftest:
+        ok &= check_pwcnet()
     if not any_run:
         p.error("nothing to check: pass --selftest or a checkpoint path")
     print("OVERALL:", "PASS" if ok else "FAIL")
