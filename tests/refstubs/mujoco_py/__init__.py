@@ -6,8 +6,39 @@ from types import SimpleNamespace
 functions = SimpleNamespace()
 
 
-def load_model_from_path(path):  # pragma: no cover - constructor-only
-    raise RuntimeError("mujoco_py stub: not runnable in tests")
+class _ModelShim:
+    """mujoco-py model attribute surface backed by REAL mujoco 3 — enough
+    for relive/utils/torch_smpl_humanoid.Humanoid (body_pos/body_ipos/
+    body_parentid/body_names/_body_name2id)."""
+
+    def __init__(self, path):
+        import mujoco
+        import numpy as _np
+
+        try:
+            m = mujoco.MjModel.from_xml_path(path)
+        except ValueError:
+            # the bundled kinpoly MJCFs use pre-2.3.3 global coordinates;
+            # reuse the repo's auto-converter
+            from egoego_release_tpu.ops.mujoco_compat import load_humanoid_model
+
+            m = load_humanoid_model(path)
+        self._m = m
+        self.body_pos = _np.array(m.body_pos)
+        self.body_ipos = _np.array(m.body_ipos)
+        self.body_parentid = _np.array(m.body_parentid)
+        self.geom_bodyid = _np.array(m.geom_bodyid)
+        self.geom_size = _np.array(m.geom_size)
+        names = [
+            mujoco.mj_id2name(m, mujoco.mjtObj.mjOBJ_BODY, i) or ""
+            for i in range(m.nbody)
+        ]
+        self.body_names = tuple(names)
+        self._body_name2id = {n: i for i, n in enumerate(names)}
+
+
+def load_model_from_path(path):
+    return _ModelShim(path)
 
 
 class MjSim:  # pragma: no cover

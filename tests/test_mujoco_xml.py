@@ -58,3 +58,60 @@ def test_qpos_fk_matches_codec_head_motion():
     p1 = np.asarray(gp1[0]) - np.asarray(gp1[0])[0]
     rot90 = np.asarray([[0, -1, 0], [1, 0, 0], [0, 0, 1]], np.float32)
     np.testing.assert_allclose(p1, p0 @ rot90.T, atol=1e-5)
+
+
+def test_qpos_fk_matches_reference_torch_humanoid():
+    """Our MuJoCo-XML FK (+ the AR session's body_com) vs the reference's
+    OWN torch_smpl_humanoid.Humanoid.qpos_fk (runs via the mujoco_py shim
+    backed by real mujoco 3), including the bquat local-quat layout."""
+    import sys
+
+    import numpy as np
+    import pytest
+
+    sys.path.insert(0, "/root/repo/tests")
+    import reforacle
+
+    reforacle.add_reference_paths()
+    if "/root/reference/kinpoly" not in sys.path:
+        sys.path.insert(0, "/root/reference/kinpoly")
+    torch = pytest.importorskip("torch")
+    mujoco = pytest.importorskip("mujoco")  # noqa: F841
+    from relive.utils.torch_smpl_humanoid import Humanoid
+
+    xml = ("/root/reference/kinpoly/assets/mujoco_models/"
+           "humanoid_smpl_neutral_mesh.xml")
+    href = Humanoid(model_file=xml)
+
+    rng = np.random.RandomState(11)
+    b = 3
+    q = np.zeros((b, 76), np.float64)
+    q[:, :3] = rng.randn(b, 3) * 0.3
+    quat = rng.randn(b, 4)
+    q[:, 3:7] = quat / np.linalg.norm(quat, axis=1, keepdims=True)
+    q[:, 7:] = 0.3 * rng.randn(b, 69)
+
+    with torch.no_grad():
+        ref = href.qpos_fk(torch.from_numpy(q))
+
+    from egoego_release_tpu.rl.ar_session import ARPhysicsSession
+    from egoego_release_tpu.rl.uhc_rewards import body_qposaddr, body_quat_local
+
+    sess = ARPhysicsSession(xml, lambda o: np.zeros(75),
+                            residual_force=False)
+    for i in range(b):
+        tgt = sess._target_dict(q[i])
+        np.testing.assert_allclose(
+            tgt["wbpos"].reshape(-1, 3), ref["wbpos"][i].numpy(), atol=2e-5)
+        np.testing.assert_allclose(
+            tgt["body_com"].reshape(-1, 3), ref["body_com"][i].numpy(),
+            atol=2e-5)
+        dots = np.abs((tgt["wbquat"].reshape(-1, 4)
+                       * ref["wbquat"][i].numpy()).sum(1))
+        np.testing.assert_allclose(dots, 1.0, atol=2e-5)
+
+    # bquat (root + per-joint sxyz quats) == uhc body_quat_local
+    qaddr = body_qposaddr(sess.env.model)
+    for i in range(b):
+        ours = body_quat_local(q[i], qaddr, sess.env.body_names).reshape(-1, 4)
+        np.testing.assert_allclose(ours, ref["bquat"][i].numpy(), atol=1e-10)
