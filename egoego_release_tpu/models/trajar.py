@@ -66,12 +66,26 @@ def step_qpos(qpos: jnp.ndarray, action: jnp.ndarray, dt: float = 1.0 / 30.0):
     return next_qpos, next_qvel
 
 
-def build_obs(qpos, qvel, context_feat, data_t, rest_offsets, use_vel=True):
-    """State features at one step (get_obs, traj_ar_smpl_net.py:208-302)."""
-    trans, aa24 = geometry.qpos_to_smpl(qpos)
-    gq, gp = fk_mod.fk_smpl(trans, aa24[:, :22], rest_offsets)
-    pred_hrot = gq[:, fk_mod.HEAD_IDX]
-    pred_hpos = gp[:, fk_mod.HEAD_IDX]
+def build_obs(qpos, qvel, context_feat, data_t, rest_offsets, use_vel=True,
+              skeleton=None, head_idx=None):
+    """State features at one step (get_obs, traj_ar_smpl_net.py:208-302).
+
+    FK backend: by default the head pose comes from the SMPL FK over
+    rest_offsets (TPU-idiomatic; the skeletons differ by millimetres).  Pass
+    `skeleton` (ops/mujoco_xml.load_mujoco_skeleton) + `head_idx` to use the
+    reference's MuJoCo-XML FK instead — that path reproduces the reference's
+    own get_obs bit-for-bit (tests/test_trajar.py::test_build_obs_xml_*)."""
+    if skeleton is not None:
+        from egoego_release_tpu.ops.mujoco_xml import qpos_fk as _xml_fk
+
+        gq, gp = _xml_fk(skeleton, qpos)
+        pred_hrot = gq[:, head_idx]
+        pred_hpos = gp[:, head_idx]
+    else:
+        trans, aa24 = geometry.qpos_to_smpl(qpos)
+        gq, gp = fk_mod.fk_smpl(trans, aa24[:, :22], rest_offsets)
+        pred_hrot = gq[:, fk_mod.HEAD_IDX]
+        pred_hpos = gp[:, fk_mod.HEAD_IDX]
 
     qpos_local = qpos.at[:, 3:7].set(heading_mod.de_heading(qpos[:, 3:7]))
 

@@ -95,3 +95,102 @@ def test_trajar_training_cli_overfits(tmp_path):
                  rnn_hdim=16, mlp_hsize=(16,), save_dir=str(tmp_path / "out"))
     import os
     assert os.path.exists(tmp_path / "out" / "final")
+
+
+def test_build_obs_xml_and_step_match_reference_trajarnet():
+    """build_obs (MJCF-FK path) and step_qpos vs the reference's OWN
+    TrajARNet.get_obs/step methods, bound onto a duck-typed module with the
+    reference torch Humanoid as fk_model (mujoco_py shim -> real mujoco 3)."""
+    import sys
+
+    import numpy as np
+    import pytest
+
+    sys.path.insert(0, "/root/repo/tests")
+    import reforacle
+
+    reforacle.add_reference_paths()
+    if "/root/reference/kinpoly" not in sys.path:
+        sys.path.insert(0, "/root/reference/kinpoly")
+    torch = pytest.importorskip("torch")
+    pytest.importorskip("mujoco")
+    import importlib
+
+    tnet = importlib.import_module("relive.models.traj_ar_smpl_net")
+    from relive.utils.torch_smpl_humanoid import Humanoid
+
+    xml = ("/root/reference/kinpoly/assets/mujoco_models/"
+           "humanoid_smpl_neutral_mesh.xml")
+
+    class _Duck:
+        pass
+
+    ref = _Duck()
+    for name in ["get_obs", "step", "set_sim"]:
+        setattr(ref, name, getattr(tnet.TrajARNet, name).__get__(ref))
+    ref.cfg = _Duck()
+    ref.cfg.use_context = False
+    ref.cfg.use_of = False
+    ref.cfg.use_head = True
+    ref.cfg.use_vel = True
+    ref.cfg.add_noise = False
+    ref.cfg.has_z = True
+    ref.mode = "test"
+    ref.fk_model = Humanoid(model_file=xml)
+    ref.rnn_hdim = 512
+    ref.dtype = torch.float64
+    ref.device = "cpu"
+    ref.sim = {}
+    ref.qpos_lm, ref.qvel_lm, ref.pose_start = 74, 75, 7
+    ref.pose_delta = False
+
+    rng = np.random.RandomState(13)
+    b, t = 2, 3
+    qpos = np.zeros((b, 76))
+    qpos[:, :3] = rng.randn(b, 3) * 0.2
+    quat = rng.randn(b, 4)
+    qpos[:, 3:7] = quat / np.linalg.norm(quat, axis=1, keepdims=True)
+    qpos[:, 7:] = 0.3 * rng.randn(b, 69)
+    qvel = 0.1 * rng.randn(b, 75)
+    data = {
+        "qpos": np.tile(qpos[:, None], (1, t, 1)),
+        "head_pose": np.concatenate(
+            [rng.randn(b, t, 3), rng.randn(b, t, 4)], axis=-1),
+        "head_vels": rng.randn(b, t, 6),
+        "obj_pose": rng.randn(b, t, 7),
+        "obj_head_relative_poses": rng.randn(b, t, 7),
+    }
+    for k in ("head_pose",):
+        q = data[k][..., 3:]
+        data[k][..., 3:] = q / np.linalg.norm(q, axis=-1, keepdims=True)
+
+    ref.set_sim(torch.from_numpy(qpos), torch.from_numpy(qvel))
+    tdata = {k: torch.from_numpy(v) for k, v in data.items()}
+    with torch.no_grad():
+        ref_obs, _ = ref.get_obs(tdata, 1)
+
+    from egoego_release_tpu.models.trajar import build_obs, step_qpos
+    from egoego_release_tpu.ops.mujoco_xml import load_mujoco_skeleton
+
+    skel = load_mujoco_skeleton(xml)
+    head_idx = ref.fk_model.get_head_idx()
+    data_t = {k: jnp.asarray(v[:, 1], jnp.float32)
+              for k, v in data.items()}
+    ours = build_obs(
+        jnp.asarray(qpos), jnp.asarray(qvel),
+        jnp.zeros((b, 0)),  # use_context False: no context block
+        data_t, rest_offsets=None, use_vel=True,
+        skeleton=skel, head_idx=head_idx)
+    assert ours.shape == tuple(ref_obs.shape)
+    np.testing.assert_allclose(np.asarray(ours), ref_obs.numpy(), atol=2e-5)
+
+    # step: same action through the reference's step and our step_qpos
+    action = rng.randn(b, 80)
+    ref.set_sim(torch.from_numpy(qpos), torch.from_numpy(qvel))
+    with torch.no_grad():
+        ref_next_qpos, ref_next_qvel = ref.step(torch.from_numpy(action))
+    nxt, nvel = step_qpos(jnp.asarray(qpos), jnp.asarray(action))
+    np.testing.assert_allclose(np.asarray(nxt), ref_next_qpos.numpy(),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(nvel), ref_next_qvel.numpy(),
+                               atol=1e-5)
