@@ -39,7 +39,9 @@ def main():
     diff = CondGaussianDiffusion(cfg)
     params = diff.init_params(jax.random.PRNGKey(0))
 
-    bs = int(os.environ.get("BENCH_BATCH", "64"))
+    # bs=48 measured fastest on v5e (45.7-46.1 vs 45.5 samples/sec at 64;
+    # BASELINE.md round-2 sweep: XLA tiles the T=121 attention best here)
+    bs = int(os.environ.get("BENCH_BATCH", "48"))
     x_start = jnp.zeros((bs, cfg.window, cfg.d_feats), jnp.float32)
     cond_mask = head_condition_mask(bs, cfg.window)
 
