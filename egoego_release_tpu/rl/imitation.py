@@ -95,7 +95,10 @@ class PhysicsImitation:
         }
 
     def _target_pose(self, target_qpos: np.ndarray):
-        quat, pos = qpos_fk(self.skeleton, jnp.asarray(target_qpos[None], jnp.float32))
+        # the FK skeleton covers the HUMANOID joints only; object-bearing
+        # *_all qpos carries object dofs past 7 + ndof (reference qpos_lim)
+        hq = np.asarray(target_qpos)[: 7 + self.env.ndof]
+        quat, pos = qpos_fk(self.skeleton, jnp.asarray(hq[None], jnp.float32))
         return np.asarray(quat[0]), np.asarray(pos[0])
 
     def step(
@@ -116,7 +119,10 @@ class PhysicsImitation:
         prev_bquat = self.env.get_body_quat()
         prev_qpos = self.env.get_qpos()
         prev_head = self.env.get_head_pose()
-        self.env.do_simulation(cc_action, np.asarray(target_qpos[7:], np.float64))
+        # PD tracks the ACTUATED joints only — on the object-bearing *_all
+        # models target_qpos may carry object dofs past the humanoid's
+        pd_target = np.asarray(target_qpos[7:7 + self.env.ndof], np.float64)
+        self.env.do_simulation(cc_action, pd_target)
 
         if self.sim_reward is not None:
             assert self._expert is not None, "call set_expert() first"
@@ -144,7 +150,9 @@ class PhysicsImitation:
             reward, components = self.sim_reward(*args, **kwargs)
             tgt_wbpos = self._target_pose(target_qpos)[1]
             body_diff = float(
-                np.linalg.norm(self.env.get_wbody_pos() - tgt_wbpos, axis=1).sum()
+                np.linalg.norm(
+                self.env.get_wbody_pos()[: len(tgt_wbpos)] - tgt_wbpos,
+                axis=1).sum()
             )
             done = body_diff > self.term_body_diff
             return float(reward), done, {
@@ -161,7 +169,9 @@ class PhysicsImitation:
             )
             tgt_wbpos = self._target_pose(target_qpos)[1]
             body_diff = float(
-                np.linalg.norm(self.env.get_wbody_pos() - tgt_wbpos, axis=1).sum()
+                np.linalg.norm(
+                self.env.get_wbody_pos()[: len(tgt_wbpos)] - tgt_wbpos,
+                axis=1).sum()
             )
             done = body_diff > self.term_body_diff
             return float(reward), done, {
@@ -202,7 +212,9 @@ class PhysicsImitation:
 
         # env_term_body='body': simulated body diverged from the target
         body_diff = float(
-            np.linalg.norm(self.env.get_wbody_pos() - tgt_wbpos, axis=1).sum()
+            np.linalg.norm(
+                self.env.get_wbody_pos()[: len(tgt_wbpos)] - tgt_wbpos,
+                axis=1).sum()
         )
         done = body_diff > self.term_body_diff
         info = {"body_diff": body_diff, "components": np.asarray(components[0])}

@@ -160,13 +160,18 @@ class MujocoHumanoidEnv:
     # -- dynamics ----------------------------------------------------------
 
     def _pd_torque(self, ctrl_joint: np.ndarray, target_kin_pose: np.ndarray):
+        # slice state + dynamics to the HUMANOID limits, as the reference
+        # does on object-bearing models (humanoid_ar_v1.py:424-445:
+        # get_humanoid_qpos/qvel, M[:qvel_lim, :qvel_lim], C[:qvel_lim])
+        ql, vl = 7 + self.ndof, 6 + self.ndof
         M, C = self.mass_matrix_and_bias()
         f32 = lambda x: np.asarray(x, np.float32)  # jax default dtype
         tau = np.asarray(
             self._torque_fn(
-                f32(ctrl_joint), f32(self.data.qpos), f32(self.data.qvel),
-                f32(target_kin_pose), f32(M), f32(C), f32(self.jkp),
-                f32(self.jkd),
+                f32(ctrl_joint), f32(self.data.qpos[:ql]),
+                f32(self.data.qvel[:vl]),
+                f32(target_kin_pose), f32(M[:vl, :vl]), f32(C[:vl]),
+                f32(self.jkp), f32(self.jkd),
             )
         )
         return np.clip(tau, -self.torque_lim, self.torque_lim)

@@ -202,9 +202,11 @@ def body_qposaddr(model) -> dict[str, tuple[int, int]]:
 def body_quat_local(qpos: np.ndarray, qaddr: dict[str, tuple[int, int]],
                     body_names: list[str]) -> np.ndarray:
     """Flat (J*4,) local body quats: [root qpos quat, euler->quat per body]
-    (humanoid_im.py:384-397; Pelvis holds the free joint, skipped)."""
+    (humanoid_im.py:384-397; Pelvis holds the free joint, skipped; iteration
+    stops at the humanoid subtree — body_names[1:body_lim] in the reference,
+    so *_all object bodies with free joints never enter)."""
     quats = [qpos[3:7]]
-    for name in body_names:
+    for name in body_names[: BODY_LIM - 1]:
         if name == "Pelvis" or name not in qaddr:
             continue
         s, e = qaddr[name]

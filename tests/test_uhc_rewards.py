@@ -525,6 +525,36 @@ def test_physics_imitation_with_uhc_reward():
     assert isinstance(done, bool) or done in (True, False)
 
 
+def test_uhc_rewards_on_object_model_scope_body_lim():
+    """On the *_all MJCF (humanoid + 5 objects) every UHC world reward and
+    the wbquat/wbpos/body_com extractors stay scoped to the 24 humanoid
+    bodies (BODY_LIM, humanoid_im.py:26) — object bodies must not leak into
+    pose terms."""
+    mujoco = pytest.importorskip("mujoco")  # noqa: F841
+    from egoego_release_tpu.rl.imitation import PhysicsImitation
+    from egoego_release_tpu.rl import uhc_rewards as U
+
+    xml = ("/root/reference/kinpoly/assets/mujoco_models/"
+           "humanoid_smpl_neutral_mesh_all.xml")
+    sim = PhysicsImitation(xml, reward_id="world_rfc_implicit_v2")
+    env = sim.env
+    assert env.model.nbody > 25  # objects present
+    assert U.env_wbquat(env).shape == (24 * 4,)
+    assert U.env_wbpos(env).shape == (24 * 3,)
+    assert U.env_body_com(env).shape == (24 * 3,)
+
+    rng = np.random.RandomState(13)
+    t, nq = 4, env.model.nq
+    eq = np.zeros((t, nq))
+    eq[:, 2], eq[:, 3] = 0.91, 1.0
+    eq[:, 7:76] = 0.02 * rng.randn(t, 69)
+    sim.set_expert(eq)
+    assert sim._expert["wbquat"].shape == (t, 24 * 4)
+    sim.reset(eq[0])
+    r, done, info = sim.step(np.zeros(env.action_dim), eq[1], expert_ind=1)
+    assert np.isfinite(r) and np.isfinite(info["components"]).all()
+
+
 def test_mcp_policy_and_physics_ppo():
     """MCPPolicy (copycat PolicyMCP): blended mean has the right shape, the
     composer weights sum to 1 implicitly (mean within primitive hull), and

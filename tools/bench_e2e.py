@@ -69,9 +69,11 @@ def main():
     stride = cfg.window - cfg.overlap_frames
     n_windows = max(1, -(-(T - cfg.overlap_frames) // stride))
     seqs = bs * n_runs / dt
+    mode = (f"DDIM-{cfg.ddim_steps}" if cfg.sampler == "ddim"
+            else f"DDPM-{cfg.timesteps}")
     print(json.dumps({
         "metric": f"chained {T}-frame sequences/sec/chip "
-                  f"(canonical sliding windows, DDPM-{cfg.timesteps})",
+                  f"(canonical sliding windows, {mode})",
         "value": round(seqs, 2),
         "unit": "seqs/sec",
         "windows_per_sec": round(seqs * n_windows, 2),
