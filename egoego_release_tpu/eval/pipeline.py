@@ -92,14 +92,14 @@ class EgoEgoPipeline:
         via sliding-window conditional diffusion
         (trainer:261-277 full_body_gen_cond_head_pose_sliding_window)."""
         rep = jnp.tile(head_pose[None], (sample_bs, 1, 1))
-        return self.diffusion.sample_sliding_window_w_canonical(
+        return self.diffusion.sample_sliding_window_w_canonical_jit(
             self.diffusion_params, key,
             rep[:, :, :3], rep[:, :, 3:], self.stats, self.rest_offsets,
         )
 
     def stage2_generate_batched(self, head_poses: jnp.ndarray, key):
         """(N, T, 7) distinct sequences sampled as one batch."""
-        return self.diffusion.sample_sliding_window_w_canonical(
+        return self.diffusion.sample_sliding_window_w_canonical_jit(
             self.diffusion_params, key,
             head_poses[:, :, :3], head_poses[:, :, 3:],
             self.stats, self.rest_offsets,

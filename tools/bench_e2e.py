@@ -53,7 +53,7 @@ def main():
     )
 
     def run(key):
-        aa, _root = diff.sample_sliding_window_w_canonical(
+        aa, _root = diff.sample_sliding_window_w_canonical_jit(
             params, key, jpos, jquat, stats, rest)
         return aa
 
