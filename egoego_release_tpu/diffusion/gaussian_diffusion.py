@@ -435,6 +435,19 @@ class CondGaussianDiffusion:
     def _next_inpaint_jit(self, root_pos, local_aa, rest_offsets, stats):
         return self._next_window_inpaint(root_pos, local_aa, rest_offsets, stats)
 
+    def sample_sliding_window_parallel_jit(
+        self, params, key, head_jpos, head_jquat, stats, rest_offsets
+    ):
+        """The parallel-window chain as one jitted program (same rationale
+        as sample_sliding_window_w_canonical_jit)."""
+        if not hasattr(self, "_par_chain_jit"):
+            self._par_chain_jit = jax.jit(
+                lambda p, k, jp, jq, st, ro:
+                self.sample_sliding_window_parallel(p, k, jp, jq, st, ro)
+            )
+        return self._par_chain_jit(params, key, head_jpos, head_jquat, stats,
+                                   rest_offsets)
+
     def sample_sliding_window_parallel(
         self,
         params,

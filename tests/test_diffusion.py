@@ -203,3 +203,41 @@ def test_ddim_chained_windows_inpaint():
     )
     assert aa.shape == (1, t_total, 22, 3)
     assert np.isfinite(np.asarray(aa)).all() and np.isfinite(np.asarray(root)).all()
+
+
+def test_whole_chain_jit_matches_eager():
+    """sample_sliding_window_w_canonical_jit / _parallel_jit reproduce the
+    eager per-window loops exactly (one traced program, same ops)."""
+    import dataclasses  # noqa: F401
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from egoego_release_tpu.diffusion import CondGaussianDiffusion, DiffusionConfig
+    from egoego_release_tpu.diffusion.gaussian_diffusion import NormStats
+
+    cfg = DiffusionConfig(d_feats=198, d_model=32, n_head=2, n_dec_layers=1,
+                          d_k=16, d_v=16, window=16, timesteps=4,
+                          overlap_frames=4)
+    diff = CondGaussianDiffusion(cfg)
+    params = diff.init_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    rest = jnp.asarray(rng.randn(22, 3).astype(np.float32) * 0.1)
+    jpos = jnp.asarray(rng.randn(2, 28, 3).astype(np.float32) * 0.01)
+    q = rng.randn(2, 28, 4).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    jquat = jnp.asarray(q)
+    stats = NormStats(jnp.asarray(-np.ones((22, 3)), jnp.float32),
+                      jnp.asarray(np.ones((22, 3)), jnp.float32))
+
+    for eager, jitted in [
+        (diff.sample_sliding_window_w_canonical,
+         diff.sample_sliding_window_w_canonical_jit),
+        (diff.sample_sliding_window_parallel,
+         diff.sample_sliding_window_parallel_jit),
+    ]:
+        a1, r1 = eager(params, jax.random.PRNGKey(1), jpos, jquat, stats, rest)
+        a2, r2 = jitted(params, jax.random.PRNGKey(1), jpos, jquat, stats, rest)
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=1e-5)
