@@ -3,7 +3,23 @@ methods we bind as oracles (get_full_obs*, compute_desired_accel, ...) are
 pure numpy over duck-typed state and never touch these symbols."""
 from types import SimpleNamespace
 
-functions = SimpleNamespace()
+
+def _mj_fullM(model, dst, qM):
+    """mujoco-py mj_fullM(model, flat_dst, qM) signature, forwarded to real
+    mujoco 3 (which takes (model, DATA, dst_2d)) — the caller's duck model
+    must carry ._m (MjModel) and ._d (MjData); qM is ignored since the live
+    MjData provides it.  Used by the bound compute_desired_accel oracle."""
+    import mujoco
+    import numpy as _np
+
+    m = getattr(model, "_m", model)
+    d = model._d
+    out = _np.zeros((m.nv, m.nv))
+    mujoco.mj_fullM(m, d, out)
+    dst[:] = out.ravel()
+
+
+functions = SimpleNamespace(mj_fullM=_mj_fullM)
 
 
 class _ModelShim:

@@ -129,3 +129,101 @@ def test_stable_pd_tracks_target():
         qpos[7:] = qpos[7:] + qvel[6:] * dt
     err1 = np.abs(qpos[7:] - target).mean()
     assert err1 < 0.05 * err0
+
+
+def test_pd_and_rfc_match_reference_own_methods():
+    """compute_torque + rfc_implicit vs the reference's OWN HumanoidAREnv
+    methods, bound onto a duck env backed by real MuJoCo state (the hand-
+    written math oracle above cross-checks the equations; this pins the
+    actual reference code path incl. compute_desired_accel via mj_fullM)."""
+    import sys
+
+    import pytest
+
+    sys.path.insert(0, "/root/repo/tests")
+    import reforacle
+
+    reforacle.add_reference_paths()
+    if "/root/reference/kinpoly" not in sys.path:
+        sys.path.insert(0, "/root/reference/kinpoly")
+    mujoco = pytest.importorskip("mujoco")
+    import importlib
+
+    ha = importlib.import_module("relive.envs.humanoid_ar_v1")
+    from egoego_release_tpu.rl.mujoco_env import MujocoHumanoidEnv
+
+    xml = ("/root/reference/kinpoly/assets/mujoco_models/"
+           "humanoid_smpl_neutral_mesh.xml")
+    env = MujocoHumanoidEnv(xml, residual_force=True)
+    rng = np.random.RandomState(3)
+    nq, nv, ndof = env.model.nq, env.model.nv, env.ndof
+    qpos = np.zeros(nq)
+    qpos[:3] = [0.1, -0.2, 0.92]
+    quat = rng.randn(4)
+    qpos[3:7] = quat / np.linalg.norm(quat)
+    qpos[7:] = 0.3 * rng.randn(ndof)
+    qvel = 0.5 * rng.randn(nv)
+    env.reset(qpos, qvel)
+
+    target = qpos[7:] + rng.uniform(-0.4, 0.4, ndof) \
+        + rng.choice([-2 * np.pi, 0, 2 * np.pi], ndof)
+    ctrl = rng.randn(ndof)
+
+    class _Duck:
+        pass
+
+    ref = _Duck()
+    for name in ["compute_torque", "compute_desired_accel",
+                 "remove_base_rot", "rfc_implicit"]:
+        setattr(ref, name, getattr(ha.HumanoidAREnv, name).__get__(ref))
+    ref.cc_cfg = _Duck()
+    ref.cc_cfg.a_scale = float(env.a_scale) if np.isscalar(env.a_scale) \
+        else 1.0
+    ref.cc_cfg.action_v = 1
+    ref.cc_cfg.jkp = np.asarray(env.jkp)
+    ref.cc_cfg.jkd = np.asarray(env.jkd)
+    ref.cc_cfg.residual_force_scale = env.rfc_scale
+    ref.cc_cfg.residual_force_lim = env.rfc_lim
+    ref.ndof = ndof
+    ref.qvel_lim = nv
+    ref.base_rot = [0.7071, 0.7071, 0.0, 0.0]
+
+    class _M:
+        pass
+
+    m = _M()
+    m.opt = env.model.opt
+    m.nv = env.model.nv
+    m._m = env.model
+    m._d = env.data  # for the stubbed mj_fullM (see refstubs/mujoco_py)
+    ref.model = m
+    ref.data = env.data
+    ref.get_humanoid_qpos = lambda: env.data.qpos.copy()
+    ref.get_humanoid_qvel = lambda: env.data.qvel.copy()
+    ref.get_target_kin_pose = lambda: target.copy()
+
+    ref_torque = ref.compute_torque(np.concatenate([ctrl, np.zeros(6)]))
+
+    from egoego_release_tpu.rl import control as C2
+
+    M, Cb = env.mass_matrix_and_bias()
+    dt = env.model.opt.timestep
+    ours = np.asarray(C2.compute_torque(
+        jnp.asarray(ctrl, jnp.float64), jnp.asarray(qpos, jnp.float64),
+        jnp.asarray(qvel, jnp.float64), jnp.asarray(target, jnp.float64),
+        jnp.asarray(M, jnp.float64), jnp.asarray(Cb, jnp.float64),
+        jnp.asarray(env.jkp, jnp.float64), jnp.asarray(env.jkd, jnp.float64),
+        dt, ref.cc_cfg.a_scale,
+    ))
+    np.testing.assert_allclose(ours, ref_torque, rtol=2e-4, atol=2e-3)
+
+    # rfc_implicit: the reference writes qfrc_applied in place
+    vf = rng.randn(env.vf_dim)
+    env.data.qfrc_applied[:] = 0.0
+    ref.rfc_implicit(vf.copy())
+    ref_qfrc = env.data.qfrc_applied[: env.vf_dim].copy()
+    ours_vf = np.asarray(C2.rfc_implicit_force(
+        jnp.asarray(vf, jnp.float64), jnp.asarray(qpos[3:7], jnp.float64),
+        env.rfc_scale, env.rfc_lim,
+    ))
+    np.testing.assert_allclose(ours_vf, ref_qfrc, atol=1e-4)  # f32 vs f64
