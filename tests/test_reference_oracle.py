@@ -1030,3 +1030,90 @@ def test_reference_qpos_metrics_parity():
             np.mean(np.asarray(our_md[key])), np.asarray(ref_val),
             rtol=5e-4, atol=5e-4, err_msg=key,
         )
+
+
+def test_reference_stage1_losses_parity():
+    """headformer_loss / gravitynet_loss vs the reference's OWN compute_loss
+    methods (bound onto ducks; note the asymmetry the reference ships:
+    HeadFormer's position_loss is squared-L2, GravityNet's is L1)."""
+    import torch
+    from types import SimpleNamespace
+
+    from egoego_release_tpu.models.headnet import headformer_loss, va2rot
+    from egoego_release_tpu.models.gravitynet import gravitynet_loss
+
+    hm = reforacle.import_reference("egoego.model.head_estimation_transformer")
+    gm = reforacle.import_reference(
+        "egoego.model.head_normal_estimation_transformer")
+
+    rng = np.random.RandomState(17)
+    b, t = 2, 9
+
+    def rq(n):
+        q = rng.randn(n, 4)
+        return (q / np.linalg.norm(q, axis=1, keepdims=True)).astype(np.float32)
+
+    # --- HeadFormer loss (:310-345) ---
+    w_rotation, w_va, w_dist, dist_scale = 0.7, 1.3, 0.4, 10.0
+    head_va = rng.randn(b, t, 3).astype(np.float32)
+    dist_scalar = rng.randn(b, t, 1).astype(np.float32)
+    init_quat = rq(b)
+    gt_head_pose = np.concatenate(
+        [np.cumsum(rng.randn(b, t + 1, 3), 1).astype(np.float32) * 0.05,
+         rq(b * (t + 1)).reshape(b, t + 1, 4)], axis=-1)
+    gt_head_vels = np.concatenate(
+        [rng.randn(b, t + 1, 3), rng.randn(b, t + 1, 3)], axis=-1
+    ).astype(np.float32)
+
+    pred_quat = np.asarray(va2rot(jnp.asarray(init_quat), jnp.asarray(head_va)))
+
+    duck = SimpleNamespace(
+        opt=SimpleNamespace(w_rotation=w_rotation, w_va=w_va, w_dist=w_dist,
+                            dist_scale=dist_scale),
+        device="cpu",
+        compute_loss=None, get_dist_scalar=None)
+    duck.compute_loss = hm.HeadFormer.compute_loss.__get__(duck)
+    duck.get_dist_scalar = hm.HeadFormer.get_dist_scalar.__get__(duck)
+
+    feature_pred = {
+        "head_va": torch.from_numpy(head_va),
+        "head_rot_quat": torch.from_numpy(pred_quat),
+        "head_dist_scalar": torch.from_numpy(dist_scalar),
+    }
+    # the reference slices [:, 1:] of an implicit (B, T+1) quat sequence and
+    # reshapes to (B*T); head_va is (B, T)
+    data = {
+        "head_vels": torch.from_numpy(gt_head_vels[:, :t]),
+        "head_pose": torch.from_numpy(gt_head_pose),
+    }
+    # reference indexes head_pose[:, 1:] for t quats and head_pose[:, :, :3]
+    # (T+1 frames) for the dist targets; dist pred covers t... the pred
+    # sequence must be (B, T+1, 4) like va2rot emits
+    with torch.no_grad():
+        ref_loss, ref_orient, ref_va, ref_dist = duck.compute_loss(
+            feature_pred, data)
+
+    ours, (o_orient, o_va, o_dist) = headformer_loss(
+        jnp.asarray(head_va), jnp.asarray(dist_scalar),
+        jnp.asarray(init_quat), jnp.asarray(gt_head_vels[:, :t, 3:]),
+        jnp.asarray(gt_head_pose[:, :, 3:]), jnp.asarray(gt_head_pose[:, :, :3]),
+        w_rotation=w_rotation, w_va=w_va, w_dist=w_dist,
+        dist_scale=dist_scale,
+    )
+    np.testing.assert_allclose(float(o_va), float(ref_va), rtol=1e-5)
+    np.testing.assert_allclose(float(o_orient), float(ref_orient), rtol=1e-5)
+    np.testing.assert_allclose(float(o_dist), float(ref_dist), rtol=1e-5)
+    np.testing.assert_allclose(float(ours), float(ref_loss), rtol=1e-5)
+
+    # --- GravityNet loss (:334-342): L1 position loss ---
+    pred_normal = rng.randn(b, 3).astype(np.float32)
+    gt_normal = rng.randn(b, 3, 1).astype(np.float32)
+    gduck = SimpleNamespace(device="cpu")
+    gduck.compute_loss = gm.HeadNormalFormer.compute_loss.__get__(gduck)
+    with torch.no_grad():
+        ref_gloss, _ = gduck.compute_loss(
+            {"pred_normal": torch.from_numpy(pred_normal)},
+            {"floor_normal": torch.from_numpy(gt_normal)})
+    ours_g = gravitynet_loss(jnp.asarray(pred_normal),
+                             jnp.asarray(gt_normal[..., 0]))
+    np.testing.assert_allclose(float(ours_g), float(ref_gloss), rtol=1e-6)
