@@ -202,3 +202,55 @@ def trajar_loss(pred: dict, gt_qpos: jnp.ndarray, rest_offsets) -> jnp.ndarray:
     pos_loss = jnp.mean(jnp.sum((gp_p - gp_g) ** 2, axis=-1))
     qpos_loss = jnp.mean((pred["qpos"] - gt_qpos) ** 2)
     return pos_loss + qpos_loss
+
+
+def _quat_identity_loss(gt_quat, pred_quat):
+    """orientation_loss (relive/utils/compute_loss.py:38-44, 55-61):
+    ||abs(gt * pred^-1) - identity||^2 per row."""
+    diff = rot.quat_multiply(gt_quat, rot.quat_invert(pred_quat))
+    iden = jnp.asarray([1.0, 0.0, 0.0, 0.0], dtype=diff.dtype)
+    return jnp.sum((jnp.abs(diff) - iden) ** 2, axis=-1)
+
+
+def trajar_reference_loss(pred: dict, data: dict, specs: dict | None = None):
+    """The reference TrajARNet.compute_loss (traj_ar_smpl_net.py:441-477),
+    term for term: root pos/orientation, joint-euler pose, root linear +
+    angular velocity (GT qvel one step ahead, :451-452), whole-body position
+    ("end effector") loss, and object-to-head position/orientation terms.
+
+    pred: dict(qpos (B,T,76), qvel (B,T,75), wbpos (B,T,J*3),
+    obj_2_head (B,T,7)); data: same keys (gt) + obj_head_relative_poses.
+    Returns (loss, components[8]).  Golden-tested against the reference's
+    own method (tests/test_trajar.py).  The module's default training loss
+    (trajar_loss) stays the documented FK-space deviation.
+    """
+    s = specs or {}
+    w_rp, w_rr = s.get("w_rp", 50), s.get("w_rr", 50)
+    w_p, w_v, w_ee = s.get("w_p", 1), s.get("w_v", 1), s.get("w_ee", 1)
+    w_op, w_or = s.get("w_op", 1), s.get("w_or", 1)
+
+    pq = pred["qpos"].reshape(-1, pred["qpos"].shape[-1])
+    gq = data["qpos"].reshape(-1, data["qpos"].shape[-1])
+    r_pos_loss = jnp.sum((gq[:, :3] - pq[:, :3]) ** 2, axis=-1).mean()
+    r_rot_loss = _quat_identity_loss(gq[:, 3:7], pq[:, 3:7]).mean()
+    p_rot_loss = jnp.sum((gq[:, 7:] - pq[:, 7:]) ** 2, axis=-1).mean()
+
+    pv = pred["qvel"][:, :-1].reshape(-1, pred["qvel"].shape[-1])
+    gv = data["qvel"][:, 1:].reshape(-1, data["qvel"].shape[-1])
+    vl_loss = jnp.sum((gv[:, :3] - pv[:, :3]) ** 2, axis=-1).mean()
+    va_loss = jnp.sum((gv[:, 3:6] - pv[:, 3:6]) ** 2, axis=-1).mean()
+
+    pw = pred["wbpos"].reshape(pq.shape[0], -1)
+    gw = data["wbpos"].reshape(pq.shape[0], -1)
+    ee_loss = jnp.sum((gw - pw) ** 2, axis=-1).mean()
+
+    po = pred["obj_2_head"].reshape(-1, 7)
+    go = data["obj_head_relative_poses"].reshape(-1, 7)
+    o_pos_loss = jnp.sum((go[:, :3] - po[:, :3]) ** 2, axis=-1).mean()
+    o_rot_loss = _quat_identity_loss(go[:, 3:], po[:, 3:]).mean()
+
+    loss = (w_rp * r_pos_loss + w_rr * r_rot_loss + w_p * p_rot_loss
+            + w_v * vl_loss + w_v * va_loss + w_ee * ee_loss
+            + w_op * o_pos_loss + w_or * o_rot_loss)
+    return loss, (r_pos_loss, r_rot_loss, p_rot_loss, vl_loss, va_loss,
+                  ee_loss, o_pos_loss, o_rot_loss)

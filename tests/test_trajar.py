@@ -194,3 +194,84 @@ def test_build_obs_xml_and_step_match_reference_trajarnet():
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(nvel), ref_next_qvel.numpy(),
                                atol=1e-5)
+
+
+def test_trajar_reference_loss_matches_reference():
+    """trajar_reference_loss vs the reference's OWN TrajARNet.compute_loss
+    (bound; only self.specs is read)."""
+    import sys
+
+    import numpy as np
+    import pytest
+
+    sys.path.insert(0, "/root/repo/tests")
+    import reforacle
+
+    reforacle.add_reference_paths()
+    if "/root/reference/kinpoly" not in sys.path:
+        sys.path.insert(0, "/root/reference/kinpoly")
+    torch = pytest.importorskip("torch")
+    import importlib
+
+    tnet = importlib.import_module("relive.models.traj_ar_smpl_net")
+    from egoego_release_tpu.models.trajar import trajar_reference_loss
+
+    rng = np.random.RandomState(19)
+    b, t, nb = 2, 5, 24
+
+    def rq(n):
+        q = rng.randn(n, 4)
+        return (q / np.linalg.norm(q, axis=1, keepdims=True)).astype(np.float32)
+
+    def qpos_seq():
+        return np.concatenate([
+            rng.randn(b, t, 3).astype(np.float32),
+            rq(b * t).reshape(b, t, 4),
+            rng.uniform(-1, 1, (b, t, 69)).astype(np.float32),
+        ], axis=-1)
+
+    def o2h():
+        return np.concatenate([
+            rng.randn(b, t, 3).astype(np.float32),
+            rq(b * t).reshape(b, t, 4)], axis=-1)
+
+    pred = {
+        "qpos": qpos_seq(),
+        "qvel": rng.randn(b, t, 75).astype(np.float32),
+        "wbpos": rng.randn(b, t, nb * 3).astype(np.float32),
+        "obj_2_head": o2h(),
+    }
+    data = {
+        "qpos": qpos_seq(),
+        "qvel": rng.randn(b, t, 75).astype(np.float32),
+        "wbpos": rng.randn(b, t, nb * 3).astype(np.float32),
+        "obj_head_relative_poses": o2h(),
+        "target": rng.randn(b, t, 80).astype(np.float32),
+    }
+    specs = {"w_rp": 30, "w_rr": 40, "w_p": 2, "w_v": 3, "w_ee": 0.5,
+             "w_op": 1.5, "w_or": 0.7}
+
+    class _Duck:
+        pass
+
+    duck = _Duck()
+    duck.specs = specs
+    duck.compute_loss = tnet.TrajARNet.compute_loss.__get__(duck)
+
+    feature_pred = {
+        "qpos": torch.from_numpy(pred["qpos"]),
+        "qvel": torch.from_numpy(pred["qvel"]),
+        "pred_wbpos": torch.from_numpy(pred["wbpos"]),
+        "obj_2_head": torch.from_numpy(pred["obj_2_head"]),
+        "action": torch.from_numpy(rng.randn(b, t, 80).astype(np.float32)),
+    }
+    tdata = {k: torch.from_numpy(v) for k, v in data.items()}
+    with torch.no_grad():
+        ref_loss, ref_comps = duck.compute_loss(feature_pred, tdata)
+
+    ours, comps = trajar_reference_loss(
+        {k: jnp.asarray(v) for k, v in pred.items()},
+        {k: jnp.asarray(v) for k, v in data.items()}, specs)
+    np.testing.assert_allclose(float(ours), float(ref_loss), rtol=1e-5)
+    np.testing.assert_allclose([float(c) for c in comps], ref_comps,
+                               rtol=1e-4)
