@@ -202,3 +202,35 @@ def load_stage1_ckpt(path: str, kind: str, n_layers: int = 2, *,
     if kind == "gravitynet":
         return convert_gravitynet(sd, n_layers)
     raise ValueError(kind)
+
+
+def convert_grucell(sd: dict, prefix: str) -> dict:
+    """torch nn.GRUCell -> flax nn.GRUCell params.
+
+    torch gates stack [r; z; n] in weight_ih (3H, in) / weight_hh (3H, H)
+    with separate input/hidden biases; flax's r/z hidden denses carry no
+    bias (r = sigma(W_ir x + b + W_hr h)), so the torch hidden biases for
+    r/z fold into the input biases — exact because they add linearly.  The
+    n gate keeps both biases (flax: n = tanh(W_in x + b_in + r*(W_hn h +
+    b_hn)), matching torch).  Covers the reference's khrylib/relive RNN
+    wrappers (relive/models/rnn.py: rnn_f = nn.GRUCell).
+    """
+    import numpy as np
+
+    w_ih = np.asarray(sd[f"{prefix}.weight_ih"])
+    w_hh = np.asarray(sd[f"{prefix}.weight_hh"])
+    b_ih = np.asarray(sd.get(f"{prefix}.bias_ih", 0.0 * w_ih[:, 0]))
+    b_hh = np.asarray(sd.get(f"{prefix}.bias_hh", 0.0 * w_hh[:, 0]))
+    h = w_hh.shape[1]
+
+    def seg(a, i):
+        return a[i * h:(i + 1) * h]
+
+    return {
+        "ir": {"kernel": seg(w_ih, 0).T, "bias": seg(b_ih, 0) + seg(b_hh, 0)},
+        "iz": {"kernel": seg(w_ih, 1).T, "bias": seg(b_ih, 1) + seg(b_hh, 1)},
+        "in": {"kernel": seg(w_ih, 2).T, "bias": seg(b_ih, 2)},
+        "hr": {"kernel": seg(w_hh, 0).T},
+        "hz": {"kernel": seg(w_hh, 1).T},
+        "hn": {"kernel": seg(w_hh, 2).T, "bias": seg(b_hh, 2)},
+    }

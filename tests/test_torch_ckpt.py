@@ -217,3 +217,33 @@ def test_stage1_shape_validation_rejects_wrong_dims():
     }
     with pytest.raises(ValueError, match="d_k=d_v=256"):
         validate_stage1_shapes(sd_bad, d_model=256, n_head=4, d_k=256, d_v=256)
+
+
+def test_convert_grucell_matches_torch():
+    """convert_grucell: the flax GRUCell reproduces torch nn.GRUCell exactly
+    (gate relayout + hidden-bias folding) over a rollout."""
+    import numpy as np
+    import torch
+    import jax
+    import jax.numpy as jnp
+    import flax.linen as nn
+
+    from egoego_release_tpu.utils.torch_ckpt import convert_grucell
+
+    torch.manual_seed(0)
+    in_dim, h = 7, 11
+    tcell = torch.nn.GRUCell(in_dim, h)
+    sd = {f"g.{k}": v.detach().numpy() for k, v in tcell.state_dict().items()}
+    params = {"params": convert_grucell(sd, "g")}
+    fcell = nn.GRUCell(h)
+
+    rng = np.random.RandomState(0)
+    hx_t = torch.zeros(3, h)
+    hx_f = jnp.zeros((3, h))
+    for t in range(5):
+        x = rng.randn(3, in_dim).astype(np.float32)
+        with torch.no_grad():
+            hx_t = tcell(torch.from_numpy(x), hx_t)
+        hx_f, out = fcell.apply(params, hx_f, jnp.asarray(x))
+        np.testing.assert_allclose(np.asarray(out), hx_t.numpy(), atol=2e-6,
+                                   err_msg=f"step {t}")
