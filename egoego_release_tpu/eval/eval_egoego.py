@@ -74,6 +74,10 @@ def run(opt) -> dict:
         headnet_window=opt.headnet_window,
         timesteps=opt.timesteps,
     )
+    if opt.dp * opt.tp > 1:
+        from egoego_release_tpu.parallel.mesh import make_mesh
+
+        pipeline.shard(make_mesh(dp=opt.dp, tp=opt.tp))
     ds = select_dataset(opt)
     full_body_gt = load_motion_dict(opt.full_body_gt_path)
     bad_seqs: set = set()
@@ -197,6 +201,11 @@ def parse_opt(argv=None):
     p.add_argument("--timesteps", type=int, default=1000,
                    help="DDPM steps (1000 = reference; lower for smoke runs)")
     p.add_argument("--sample_bs", type=int, default=1)
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel mesh size: the sample_bs best-of "
+                        "candidates fan across chips (SURVEY §2.4)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel mesh size for the denoiser params")
     p.add_argument("--max_seqs", type=int, default=0)
     p.add_argument("--test_on_ares", action="store_true")
     p.add_argument("--test_on_gimo", action="store_true")

@@ -39,6 +39,10 @@ def run(opt) -> dict:
         ddim_steps=opt.ddim_steps or 50,
         timesteps=opt.timesteps,
     )
+    if opt.dp * opt.tp > 1:
+        from egoego_release_tpu.parallel.mesh import make_mesh
+
+        pipeline.shard(make_mesh(dp=opt.dp, tp=opt.tp))
     data = load_motion_dict(opt.test_data_path)
 
     key = jax.random.PRNGKey(opt.seed)
@@ -136,6 +140,11 @@ def parse_opt(argv=None):
                    help="sequences per diffusion batch (TPU-native batched eval)")
     p.add_argument("--ddim_steps", type=int, default=0,
                    help="use the fast DDIM sampler with N steps (0 = parity DDPM-1000)")
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel mesh size: sequences/samples fan "
+                        "across chips (SURVEY §2.4 eval fan-out)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel mesh size for the denoiser params")
     p.add_argument("--max_seqs", type=int, default=0)
     p.add_argument("--filter_subsets", action="store_true", default=True)
     p.add_argument("--no_filter_subsets", dest="filter_subsets", action="store_false")

@@ -47,6 +47,36 @@ class EgoEgoPipeline:
     gravitynet_params: Any = None
     dist_scale: float = 10.0
     extras: dict = field(default_factory=dict)
+    mesh: Any = None
+
+    # -- multi-chip ---------------------------------------------------------
+
+    def shard(self, mesh) -> "EgoEgoPipeline":
+        """Shard for multi-chip eval (SURVEY §2.4: "eval fans whole
+        sequences x samples across chips"): the diffusion params get the
+        Megatron-style tp rules, stage-1 params are replicated, and
+        `stage2_generate*` dp-shard their sequence/sample batch dim so the
+        canonical sliding-window chain runs SPMD over the mesh."""
+        from egoego_release_tpu.parallel.mesh import replicated, shard_params
+
+        self.mesh = mesh
+        self.diffusion_params = shard_params(self.diffusion_params, mesh)
+        rep = replicated(mesh)
+        put = lambda tree: jax.tree.map(lambda v: jax.device_put(v, rep), tree)
+        if self.headnet_params is not None:
+            self.headnet_params = put(self.headnet_params)
+        if self.gravitynet_params is not None:
+            self.gravitynet_params = put(self.gravitynet_params)
+        return self
+
+    def _dp_shard_head(self, head_jpos, head_jquat):
+        """dp-shard the (B, T, ...) stage-2 condition, padding B up to a
+        multiple of dp.  Returns (jpos, jquat, original_batch)."""
+        from egoego_release_tpu.parallel.mesh import pad_to_dp, shard_batch
+
+        head_jpos, b = pad_to_dp(head_jpos, self.mesh)
+        head_jquat, _ = pad_to_dp(head_jquat, self.mesh)
+        return shard_batch(head_jpos, self.mesh), shard_batch(head_jquat, self.mesh), b
 
     # -- stage 1 -----------------------------------------------------------
 
@@ -92,17 +122,33 @@ class EgoEgoPipeline:
         via sliding-window conditional diffusion
         (trainer:261-277 full_body_gen_cond_head_pose_sliding_window)."""
         rep = jnp.tile(head_pose[None], (sample_bs, 1, 1))
+        jpos, jquat = rep[:, :, :3], rep[:, :, 3:]
+        if self.mesh is not None:
+            jpos, jquat, b = self._dp_shard_head(jpos, jquat)
+            aa, root = self.diffusion.sample_sliding_window_w_canonical_jit(
+                self.diffusion_params, key, jpos, jquat, self.stats,
+                self.rest_offsets,
+            )
+            return aa[:b], root[:b]
         return self.diffusion.sample_sliding_window_w_canonical_jit(
-            self.diffusion_params, key,
-            rep[:, :, :3], rep[:, :, 3:], self.stats, self.rest_offsets,
+            self.diffusion_params, key, jpos, jquat, self.stats,
+            self.rest_offsets,
         )
 
     def stage2_generate_batched(self, head_poses: jnp.ndarray, key):
-        """(N, T, 7) distinct sequences sampled as one batch."""
+        """(N, T, 7) distinct sequences sampled as one batch; with a mesh the
+        N sequences fan dp-wise across chips."""
+        jpos, jquat = head_poses[:, :, :3], head_poses[:, :, 3:]
+        if self.mesh is not None:
+            jpos, jquat, b = self._dp_shard_head(jpos, jquat)
+            aa, root = self.diffusion.sample_sliding_window_w_canonical_jit(
+                self.diffusion_params, key, jpos, jquat, self.stats,
+                self.rest_offsets,
+            )
+            return aa[:b], root[:b]
         return self.diffusion.sample_sliding_window_w_canonical_jit(
-            self.diffusion_params, key,
-            head_poses[:, :, :3], head_poses[:, :, 3:],
-            self.stats, self.rest_offsets,
+            self.diffusion_params, key, jpos, jquat, self.stats,
+            self.rest_offsets,
         )
 
     def fk(self, root_pos: jnp.ndarray, local_aa: jnp.ndarray):

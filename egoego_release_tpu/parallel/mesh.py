@@ -93,3 +93,39 @@ def shard_params(params, mesh: Mesh):
     return jax.tree_util.tree_map(
         lambda v, s: jax.device_put(v, s), params, param_shardings(params, mesh)
     )
+
+
+def count_tp_sharded(params, mesh: Mesh) -> int:
+    """Number of params the tp rules actually shard (spec mentions 'tp').
+
+    Guards `_TP_RULES` regex rot: `_spec_for` silently replicates on
+    non-matching paths or non-divisible dims, so callers building release
+    configs should assert this count (see tests/test_inference_parallel.py).
+    """
+    flat = jax.tree_util.tree_leaves(param_shardings(params, mesh))
+    return sum(1 for s in flat if "tp" in list(s.spec))
+
+
+def expected_tp_sharded(n_layers: int) -> int:
+    """Per DecoderLayer: w_q/w_k/w_v kernel+bias (6), fc kernel (1),
+    ffn w_1 kernel+bias (2), w_2 kernel (1) = 10."""
+    return 10 * n_layers
+
+
+def shard_batch(x, mesh: Mesh):
+    """Device-put with the leading dim sharded over dp.  The batch must be
+    divisible by dp (callers pad via `pad_to_dp`)."""
+    return jax.device_put(x, batch_sharding(mesh))
+
+
+def pad_to_dp(x, mesh: Mesh):
+    """Pad the leading dim up to a multiple of dp by repeating the last row.
+    Returns (padded, original_batch)."""
+    import jax.numpy as jnp
+
+    dp = mesh.shape["dp"]
+    b = x.shape[0]
+    pad = (-b) % dp
+    if pad:
+        x = jnp.concatenate([x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
+    return x, b

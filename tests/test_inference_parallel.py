@@ -1,0 +1,186 @@
+"""Multi-chip INFERENCE fan-out (SURVEY §2.4: "eval fans whole
+sequences x samples across chips").
+
+The canonical sliding-window chain
+(transformer_cond_diffusion_model.py:330-467 in the reference) is the real
+inference unit; these tests run it SPMD on the 8-virtual-device CPU mesh
+(tests/conftest.py) with dp over the sequence/sample batch and the
+Megatron-style tp rules over the denoiser params, and assert the sharded
+chain reproduces the unsharded one.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from egoego_release_tpu.diffusion.gaussian_diffusion import (
+    CondGaussianDiffusion,
+    DiffusionConfig,
+    NormStats,
+)
+from egoego_release_tpu.parallel.mesh import (
+    count_tp_sharded,
+    expected_tp_sharded,
+    make_mesh,
+    pad_to_dp,
+    shard_batch,
+    shard_params,
+)
+
+TINY = DiffusionConfig(
+    d_feats=198, d_model=32, n_head=2, n_dec_layers=2, d_k=16, d_v=16,
+    window=8, timesteps=6, overlap_frames=2,
+)
+
+
+def chain_inputs(bs=8, t_total=20, seed=0):
+    """Random head trajectory spanning >2 chained windows (stride 6)."""
+    rng = np.random.RandomState(seed)
+    head_jpos = jnp.asarray(rng.uniform(-1, 1, (bs, t_total, 3)), jnp.float32)
+    q = rng.normal(size=(bs, t_total, 4)).astype(np.float32)
+    head_jquat = jnp.asarray(q / np.linalg.norm(q, axis=-1, keepdims=True))
+    stats = NormStats(
+        jpos_min=jnp.full((22, 3), -2.0), jpos_max=jnp.full((22, 3), 2.0)
+    )
+    rest_offsets = jnp.asarray(rng.uniform(-0.2, 0.2, (22, 3)), jnp.float32)
+    return head_jpos, head_jquat, stats, rest_offsets
+
+
+def run_chain(diff, params, inputs, mesh=None):
+    head_jpos, head_jquat, stats, rest_offsets = inputs
+    key = jax.random.PRNGKey(7)
+    if mesh is None:
+        aa, root = diff.sample_sliding_window_w_canonical_jit(
+            params, key, head_jpos, head_jquat, stats, rest_offsets
+        )
+    else:
+        with mesh:
+            aa, root = diff.sample_sliding_window_w_canonical_jit(
+                shard_params(params, mesh), key,
+                shard_batch(head_jpos, mesh), shard_batch(head_jquat, mesh),
+                stats, rest_offsets,
+            )
+    return np.asarray(aa), np.asarray(root)
+
+
+def test_sharded_chain_matches_unsharded_dp_only():
+    """Pure dp: each device runs whole rows -> numerics match tightly (only
+    GSPMD-fusion-order fp drift, measured max ~3e-5 over the 3-window chain)."""
+    diff = CondGaussianDiffusion(TINY)
+    params = diff.init_params(jax.random.PRNGKey(0))
+    inputs = chain_inputs()
+    aa0, root0 = run_chain(diff, params, inputs)
+    diff_dp = CondGaussianDiffusion(TINY)  # fresh _chain_jit cache
+    aa1, root1 = run_chain(diff_dp, params, inputs, mesh=make_mesh(dp=8, tp=1))
+    np.testing.assert_allclose(aa0, aa1, atol=2e-4)
+    np.testing.assert_allclose(root0, root1, atol=2e-4)
+
+
+def test_sharded_chain_matches_unsharded_dp_tp():
+    """dp x tp: tp changes matmul reduction order -> small fp drift allowed,
+    amplified through the 3-window x 6-step chain."""
+    diff = CondGaussianDiffusion(TINY)
+    params = diff.init_params(jax.random.PRNGKey(0))
+    inputs = chain_inputs()
+    aa0, root0 = run_chain(diff, params, inputs)
+    diff_m = CondGaussianDiffusion(TINY)
+    aa1, root1 = run_chain(diff_m, params, inputs, mesh=make_mesh(dp=4, tp=2))
+    assert np.isfinite(aa1).all() and np.isfinite(root1).all()
+    np.testing.assert_allclose(aa0, aa1, atol=2e-3)
+    np.testing.assert_allclose(root0, root1, atol=2e-3)
+
+
+def test_pipeline_shard_generates_sharded_and_pads():
+    """EgoEgoPipeline.shard: batched stage-2 generation runs on the mesh and
+    non-dp-divisible batches are padded then sliced back."""
+    from egoego_release_tpu.eval.pipeline import EgoEgoPipeline
+
+    diff = CondGaussianDiffusion(TINY)
+    params = diff.init_params(jax.random.PRNGKey(0))
+    head_jpos, head_jquat, stats, rest_offsets = chain_inputs(bs=3)
+    pipe = EgoEgoPipeline(
+        diffusion=diff, diffusion_params=params, stats=stats,
+        rest_offsets=rest_offsets,
+    )
+    pipe.shard(make_mesh(dp=4, tp=2))
+    head_poses = jnp.concatenate([head_jpos, head_jquat], axis=-1)
+    aa, root = pipe.stage2_generate_batched(head_poses, jax.random.PRNGKey(1))
+    assert aa.shape[0] == 3 and root.shape[0] == 3  # padded 3->4, sliced back
+    assert np.isfinite(np.asarray(aa)).all()
+
+    # param sharding really applied
+    leaves = jax.tree.leaves(pipe.diffusion_params)
+    specs = [l.sharding.spec for l in leaves if hasattr(l, "sharding")]
+    assert any("tp" in list(s) for s in specs)
+
+
+def test_pad_to_dp():
+    mesh = make_mesh(dp=4, tp=2)
+    x = jnp.arange(6, dtype=jnp.float32).reshape(6, 1)
+    padded, b = pad_to_dp(x, mesh)
+    assert b == 6 and padded.shape[0] == 8
+    np.testing.assert_array_equal(
+        np.asarray(padded[6:]), np.tile(np.asarray(x[5:6]), (2, 1))
+    )
+    y, b2 = pad_to_dp(jnp.zeros((8, 1)), mesh)
+    assert b2 == 8 and y.shape[0] == 8
+
+
+def test_release_dims_tp_sharding_counts():
+    """The FULL stage-2 config (d_model 512, d_k=d_v=256 — trainer:399-403)
+    must shard exactly 10 params/layer under tp; guards _TP_RULES regex rot
+    and the silent replicate fallback in parallel/mesh.py::_spec_for."""
+    mesh = make_mesh(dp=4, tp=2)
+    release = CondGaussianDiffusion(DiffusionConfig(timesteps=8))
+    params = release.init_params(jax.random.PRNGKey(0))
+    n_tp = count_tp_sharded(params, mesh)
+    assert n_tp == expected_tp_sharded(release.cfg.n_dec_layers) == 40
+
+    # the device-put tree carries the shardings (w_q kernel split on heads)
+    sharded = shard_params(params, mesh)
+    flat = jax.tree_util.tree_flatten_with_path(sharded)[0]
+    by_path = {
+        "/".join(getattr(k, "key", str(k)) for k in kp): v for kp, v in flat
+    }
+    wq = [v for k, v in by_path.items() if k.endswith("w_q/kernel")]
+    assert len(wq) == 4
+    for v in wq:
+        assert v.sharding.spec == P(None, "tp")
+        # 4 heads x d_k 256 = 1024 output dim -> 512 per tp shard
+        assert v.shape == (512, 1024)
+
+
+def test_release_dims_sharded_step_and_sample():
+    """Release dims on the virtual mesh: one train_step + one p_sample step
+    execute SPMD with finite outputs (VERDICT r2 item 2)."""
+    from egoego_release_tpu.training.trainer_diffusion import DiffusionTrainer
+
+    mesh = make_mesh(dp=4, tp=2)
+    release = CondGaussianDiffusion(DiffusionConfig(timesteps=8))
+    trainer = DiffusionTrainer(release, mesh=mesh)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    state = state._replace(params=shard_params(state.params, mesh))
+
+    bs = 8
+    t = release.cfg.window
+    batch = {
+        "motion": np.random.RandomState(0)
+        .uniform(-1, 1, (bs, t, 198)).astype(np.float32),
+        "seq_len": np.full((bs,), t, np.int32),
+    }
+    with mesh:
+        state, loss = trainer.train_step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+
+    from egoego_release_tpu.diffusion.gaussian_diffusion import head_condition_mask
+
+    x = shard_batch(jnp.asarray(batch["motion"]), mesh)
+    cond = head_condition_mask(bs, t)
+    x_cond = x * (1.0 - cond)
+    tt = jnp.full((bs,), 5, jnp.int32)
+    with mesh:
+        out = release.p_sample(
+            state.params, jax.random.PRNGKey(2), x, tt, x_cond
+        )
+    assert np.isfinite(np.asarray(out)).all()
