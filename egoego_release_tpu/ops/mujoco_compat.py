@@ -88,6 +88,16 @@ def convert_global_mjcf(xml_path: str, meshdir: str | None = None) -> str:
             if geom.get("type") == "mesh":
                 # mesh vertices are world-frame; re-anchor to the body frame
                 geom.set("pos", _fmt(-global_pos))
+            elif geom.get("fromto") is not None:
+                # primitive capsules (mocap_skeleton-generated models):
+                # both endpoints are world-frame
+                ft = np.asarray([float(x) for x in geom.get("fromto").split()])
+                geom.set(
+                    "fromto",
+                    " ".join(_fmt(e - global_pos) for e in (ft[:3], ft[3:])),
+                )
+            elif geom.get("pos") is not None:
+                geom.set("pos", _fmt(_fvec(geom.get("pos")) - global_pos))
         for child in body.findall("body"):
             localize(child, global_pos)
 
