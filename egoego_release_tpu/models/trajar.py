@@ -66,6 +66,32 @@ def step_qpos(qpos: jnp.ndarray, action: jnp.ndarray, dt: float = 1.0 / 30.0):
     return next_qpos, next_qvel
 
 
+def inverse_step_qpos(qpos: jnp.ndarray, next_qpos: jnp.ndarray,
+                      dt: float = 1.0 / 30.0) -> jnp.ndarray:
+    """The action (B, 80) for which `step_qpos(qpos, action, dt)` reproduces
+    `next_qpos` exactly — the supervised-pretraining target the reference's
+    AgentAR relies on (its RL stage FINE-TUNES an ARNet policy already
+    trained to output expert transitions, agent_ar.py; PPO from scratch has
+    no signal because the 80-dim action is an absolute next-pose
+    representation).  Round-trip-tested in tests/test_trajar.py."""
+    curr_rot = qpos[:, 3:7]
+    curr_heading = heading_mod.get_heading_quat(curr_rot)
+    # z + (ignored) quat slots + absolute body eulers
+    z = next_qpos[:, 2:3]
+    quat_slot = next_qpos[:, 3:7]
+    eulers = next_qpos[:, 7:]
+    # root linear velocity in the heading frame (step_qpos applies only xy)
+    v = (next_qpos[:, :3] - qpos[:, :3]) / dt
+    linv = rot.quat_apply(rot.quat_invert(curr_heading), v)
+    # root angular velocity in the body frame
+    qrel = rot.standardize_quat(
+        rot.quat_multiply(next_qpos[:, 3:7], rot.quat_invert(curr_rot))
+    )
+    angv_world = rot.quat_to_axis_angle(qrel) / dt
+    angv = rot.quat_apply(rot.quat_invert(curr_rot), angv_world)
+    return jnp.concatenate([z, quat_slot, eulers, linv, angv], axis=-1)
+
+
 def build_obs(qpos, qvel, context_feat, data_t, rest_offsets, use_vel=True,
               skeleton=None, head_idx=None):
     """State features at one step (get_obs, traj_ar_smpl_net.py:208-302).

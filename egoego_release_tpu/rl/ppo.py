@@ -140,10 +140,10 @@ def gae_advantages(rewards, values, last_value, dones, gamma, lam):
 
 class PPOAgent:
     def __init__(self, env: KinematicHumanoidEnv, cfg: PPOConfig = PPOConfig(),
-                 hsize=(512, 256)):
+                 hsize=(512, 256), log_std_init: float = -2.3):
         self.env = env
         self.cfg = cfg
-        self.policy = GaussianPolicy(env.action_dim, hsize)
+        self.policy = GaussianPolicy(env.action_dim, hsize, log_std_init)
         self.value = ValueNet(hsize)
         self.p_opt = optax.adam(cfg.policy_lr)
         self.v_opt = optax.adam(cfg.value_lr)

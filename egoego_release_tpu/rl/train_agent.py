@@ -58,13 +58,18 @@ def build_from_config(cfg: KinpolyConfig, rest_offsets, num_envs: int = 16):
         epochs=int(ps.get("num_optim_epoch", 5)),
     )
     hsize = tuple(ps.get("policy_hsize", [512, 256]))
-    agent = PPOAgent(env, ppo_cfg, hsize=hsize)
+    agent = PPOAgent(env, ppo_cfg, hsize=hsize,
+                     log_std_init=float(ps.get("log_std", -2.3)))
     return env, agent
 
 
 def train(cfg_path: str, expert_path: str, rest_offsets, iters: int = 100,
           num_envs: int = 16, seed: int = 0, save_dir: str | None = None,
-          save_interval: int = 50, log_every: int = 10) -> dict:
+          save_interval: int = 50, log_every: int = 10,
+          init_policy_params=None) -> dict:
+    """init_policy_params: warm-start the actor (the reference's AgentAR
+    fine-tunes a supervised-pretrained ARNet policy, agent_ar.py — PPO from
+    a random 80-dim absolute-pose actor has no reward signal)."""
     cfg = KinpolyConfig(cfg_path)
     env, agent = build_from_config(cfg, rest_offsets, num_envs)
     fr_num = int(cfg.get("fr_num", 90))
@@ -75,6 +80,9 @@ def train(cfg_path: str, expert_path: str, rest_offsets, iters: int = 100,
     key = jax.random.PRNGKey(seed)
     key, k_init = jax.random.split(key)
     state = agent.init_state(k_init)
+    if init_policy_params is not None:
+        state["policy"] = init_policy_params
+        state["p_opt"] = agent.p_opt.init(init_policy_params)
 
     history = []
     for it in range(iters):

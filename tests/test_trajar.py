@@ -8,6 +8,7 @@ from egoego_release_tpu.models.trajar import (
     ACTION_DIM,
     QPOS_DIM,
     TrajARNet,
+    inverse_step_qpos,
     step_qpos,
     trajar_loss,
 )
@@ -45,6 +46,25 @@ def test_step_qpos_integration():
     np.testing.assert_allclose(np.linalg.norm(np.asarray(nq[:, 3:7]), axis=-1), 1.0, atol=1e-5)
     # qvel reflects the applied velocity
     np.testing.assert_allclose(np.asarray(nv[:, 0]), 1.0, atol=1e-4)
+
+
+def test_inverse_step_qpos_roundtrip():
+    """step_qpos(qpos, inverse_step_qpos(qpos, next)) must land exactly on
+    next (the supervised-pretraining identity the capability run uses)."""
+    rng = np.random.RandomState(3)
+    b = 16
+    qpos = rng.randn(b, QPOS_DIM).astype(np.float32) * 0.3
+    nxt = qpos + rng.randn(b, QPOS_DIM).astype(np.float32) * 0.05
+    for arr in (qpos, nxt):
+        arr[:, 3:7] /= np.linalg.norm(arr[:, 3:7], axis=-1, keepdims=True)
+    action = inverse_step_qpos(jnp.asarray(qpos), jnp.asarray(nxt))
+    rec, _ = step_qpos(jnp.asarray(qpos), action)
+    rec = np.asarray(rec)
+    np.testing.assert_allclose(rec[:, :3], nxt[:, :3], atol=1e-5)
+    np.testing.assert_allclose(rec[:, 7:], nxt[:, 7:], atol=1e-6)
+    # quats up to sign
+    sign = np.sign(np.sum(rec[:, 3:7] * nxt[:, 3:7], axis=-1, keepdims=True))
+    np.testing.assert_allclose(rec[:, 3:7], sign * nxt[:, 3:7], atol=1e-5)
 
 
 def test_trajar_rollout_and_loss():

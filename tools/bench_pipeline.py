@@ -1,0 +1,177 @@
+"""FULL-pipeline benchmark: the complete eval_egoego flow as one benched unit.
+
+Covers what `eval_egoego.py:118-446` actually runs per sequence (SURVEY §3.2):
+  stage 1: HeadNet blockwise eval (va2rot integration + SLAM rescale)
+           + GravityNet floor-normal eval transform (+ Umeyama alignment)
+  stage 2: canonical sliding-window DDPM chain (the whole-chain jit)
+  decode:  FK -> floor detection (host-side clustering, as in the reference)
+           -> full SMPL metric suite
+GT prep (FK + floor snap of the ground truth) is timed separately, as the
+reference also performs it inside the eval loop.
+
+Random-init weights (throughput is weight-independent); real bundled
+normalization stats when present.  Prints one JSON line with the end-to-end
+sequences/sec plus a phase breakdown.
+
+  python tools/bench_pipeline.py                 # 16 sequences of 140 frames
+  PIPE_SEQS=8 PIPE_FRAMES=140 PIPE_RUNS=2 python tools/bench_pipeline.py
+  PIPE_DDIM=50 python tools/bench_pipeline.py    # fast-sampler mode
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+REF_STATS = "/root/reference/test_data/ares/cano_min_max_mean_std_data_window_120.p"
+
+
+def synth_records(n, t, rng):
+    """Synthetic eval records with the ARES schema fields stage 1 consumes."""
+    recs = []
+    for _ in range(n):
+        q = rng.randn(t, 4).astype(np.float32)
+        q /= np.linalg.norm(q, axis=-1, keepdims=True)
+        trans = np.cumsum(rng.randn(t, 3).astype(np.float32) * 0.01, axis=0)
+        mats = _quat_to_mat(q)
+        recs.append({
+            "of": rng.randn(t, 512).astype(np.float32),
+            "head_pose": np.concatenate(
+                [trans + np.asarray([0, 0, 1.6], np.float32), q], axis=-1
+            ),
+            "aligned_slam_trans": trans,
+            "ori_slam_trans": trans * 0.7,   # up-to-scale SLAM
+            "ori_slam_rot_mat": mats,
+        })
+    return recs
+
+
+def _quat_to_mat(q):
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return np.stack([
+        np.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)], -1),
+        np.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)], -1),
+        np.stack([2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)], -1),
+    ], -2)
+
+
+def main():
+    jax.config.update("jax_default_prng_impl", "rbg")  # see bench.py
+
+    from egoego_release_tpu.diffusion.gaussian_diffusion import NormStats
+    from egoego_release_tpu.eval.build import build_pipeline
+    from egoego_release_tpu.eval.pipeline import (
+        evaluate_batch,
+        gt_from_smpl_params,
+        stage1_metrics,
+    )
+
+    n_seqs = int(os.environ.get("PIPE_SEQS", "16"))
+    t = int(os.environ.get("PIPE_FRAMES", "140"))
+    n_runs = int(os.environ.get("PIPE_RUNS", "3"))
+    ddim = int(os.environ.get("PIPE_DDIM", "0"))
+
+    rng = np.random.RandomState(0)
+    rest_path = "/tmp/_bench_rest.npy"
+    rest = np.concatenate(
+        [np.zeros((1, 3)), rng.uniform(-0.2, 0.2, (21, 3))]
+    ).astype(np.float32)
+    np.save(rest_path, rest)
+
+    stats_path = REF_STATS
+    if not os.path.exists(stats_path):
+        import joblib
+
+        stats_path = "/tmp/_bench_stats.p"
+        joblib.dump(
+            {"global_jpos_min": -2 * np.ones(66, np.float32),
+             "global_jpos_max": 2 * np.ones(66, np.float32),
+             "global_jvel_min": -np.ones(66, np.float32),
+             "global_jvel_max": np.ones(66, np.float32)},
+            stats_path,
+        )
+
+    pipeline = build_pipeline(
+        stats_path=stats_path,
+        rest_offsets_path=rest_path,
+        sampler="ddim" if ddim else "ddpm",
+        ddim_steps=ddim or 50,
+        # PIPE_TIMESTEPS < 1000 is for CPU smoke runs ONLY
+        timesteps=int(os.environ.get("PIPE_TIMESTEPS", "1000")),
+    )
+
+    records = synth_records(n_seqs, t, rng)
+    # GT bodies (the qpos->FK->floor-snap step of the eval loop)
+    gt_params = [
+        (np.cumsum(rng.randn(t, 3).astype(np.float32) * 0.01, 0),
+         rng.uniform(-0.4, 0.4, (t, 3)).astype(np.float32),
+         rng.uniform(-0.3, 0.3, (t, 63)).astype(np.float32))
+        for _ in range(n_seqs)
+    ]
+
+    def run_once(key):
+        times = {}
+        t0 = time.perf_counter()
+        gts = [gt_from_smpl_params(pipeline, *p) for p in gt_params]
+        jax.block_until_ready([g[0] for g in gts])
+        times["gt_prep"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        head_poses = []
+        s1m = []
+        for rec, (gq, gp, gt_head) in zip(records, gts):
+            s1 = pipeline.stage1_head_pose(rec)
+            hp = np.asarray(s1["head_pose"])[:t]
+            s1m.append(stage1_metrics(hp, np.asarray(gt_head)))
+            # floor-align the predicted head to the GT start (eval_egoego:334)
+            hp = hp.copy()
+            hp[:, :3] += np.asarray(gp[0, 15]) - hp[0, :3]
+            head_poses.append(hp)
+        times["stage1"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        mds = evaluate_batch(
+            pipeline,
+            np.stack(head_poses),
+            jnp.stack([g[0] for g in gts]),
+            jnp.stack([g[1] for g in gts]),
+            key,
+        )
+        times["stage2_fk_metrics"] = time.perf_counter() - t0
+        return times, mds
+
+    # warmup / compile
+    warm, _ = run_once(jax.random.PRNGKey(1))
+    totals = {k: 0.0 for k in warm}
+    t_all0 = time.perf_counter()
+    for i in range(n_runs):
+        times, mds = run_once(jax.random.PRNGKey(2 + i))
+        for k, v in times.items():
+            totals[k] += v
+    dt = time.perf_counter() - t_all0
+
+    seqs_per_sec = n_seqs * n_runs / dt
+    assert all(np.isfinite(m["mpjpe"]) for m in mds)
+    steps = int(os.environ.get("PIPE_TIMESTEPS", "1000"))
+    sampler_tag = f"DDIM-{ddim}" if ddim else f"DDPM-{steps}"
+    print(json.dumps({
+        "metric": "end-to-end pipeline sequences/sec/chip "
+                  f"(stage1+stage2({sampler_tag})"
+                  "+FK+floor+metrics, T=%d)" % t,
+        "value": round(seqs_per_sec, 4),
+        "unit": "seqs/sec",
+        "n_seqs": n_seqs,
+        "breakdown_sec_per_run": {
+            k: round(v / n_runs, 4) for k, v in totals.items()
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()
