@@ -17,3 +17,42 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
 assert jax.devices()[0].platform == "cpu"
+
+import pytest  # noqa: E402
+
+# Tests measured >25s on the 1-core host (pytest --durations), marked slow
+# centrally so the default run (pytest.ini deselects -m slow) stays under
+# ~15 min.  Run EVERYTHING with:  python -m pytest tests/ -q -m ""
+SLOW_TESTS = {
+    "test_trajar_rollout_and_loss",
+    "test_eval_sweep_runs_both_configs",
+    "test_release_dims_sharded_step_and_sample",
+    "test_eval_egoego_cli_end_to_end",
+    "test_sharded_chain_matches_unsharded_dp_tp",
+    "test_random_init_runs_and_jits",
+    "test_train_diffusion_cli_auto_resume",
+    "test_batched_eval_under_dp_mesh",
+    "test_whole_chain_jit_matches_eager",
+    "test_ppo_improves_reward",
+    "test_trajar_training_cli_overfits",
+    "test_pipeline_shard_generates_sharded_and_pads",
+    "test_headformer_with_cnn_path",
+    "test_sharded_chain_matches_unsharded_dp_only",
+    "test_fused_sampler_end_to_end",
+    "test_sharded_matches_unsharded",
+    "test_mesh_sharded_training_step",
+    "test_save_load_exact_resume",
+    "test_trpo_update_respects_kl_and_improves",
+    "test_fused_denoiser_apply_matches_flax",
+    "test_evaluate_sequence_and_batch_consistency",
+    "test_env_reward_ranks_expert_above_perturbed",
+    "test_pwcnet_forward_matches_reference",
+    "test_eval_trajar_physics_metrics_cli",
+    "test_raw_flow_training_step",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.name.split("[")[0] in SLOW_TESTS:
+            item.add_marker(pytest.mark.slow)
