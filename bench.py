@@ -32,16 +32,28 @@ def main():
     # explicit noise and are unaffected.
     jax.config.update("jax_default_prng_impl", "rbg")
 
+    import dataclasses
+
     from egoego_release_tpu.diffusion import CondGaussianDiffusion, DiffusionConfig
     from egoego_release_tpu.diffusion.gaussian_diffusion import head_condition_mask
 
-    cfg = DiffusionConfig()  # full released config
+    # Round-3 tune (BASELINE.md "large-batch cliff"): the fused Pallas
+    # decoder-layer kernel WINS at bs>=128 (21.5 vs 33.1 us/sample at 256 —
+    # XLA's composed-graph fusion degrades at large batch while the kernel's
+    # grid scales), and lax.map microbatching holds each chunk at its
+    # optimum.  bs=256 fused + mb=64 measured 53.5-54.0 samples/sec vs 45.4-46.2
+    # for round-2's XLA bs=48.  Numerics: bf16-rounding-level drift vs the
+    # flax path (end-of-chain max ~0.019 on outputs with std 0.69); parity
+    # mode (and all golden tests) stay on the flax path.
+    bs = int(os.environ.get("BENCH_BATCH", "256"))
+    fused = os.environ.get("BENCH_FUSED", "1") == "1"
+    mb = int(os.environ.get("BENCH_MICROBATCH", "64"))
+    cfg = dataclasses.replace(
+        DiffusionConfig(),  # full released config
+        fused_transformer=fused, sample_microbatch=mb,
+    )
     diff = CondGaussianDiffusion(cfg)
     params = diff.init_params(jax.random.PRNGKey(0))
-
-    # bs=48 measured fastest on v5e (45.7-46.1 vs 45.5 samples/sec at 64;
-    # BASELINE.md round-2 sweep: XLA tiles the T=121 attention best here)
-    bs = int(os.environ.get("BENCH_BATCH", "48"))
     x_start = jnp.zeros((bs, cfg.window, cfg.d_feats), jnp.float32)
     cond_mask = head_condition_mask(bs, cfg.window)
 

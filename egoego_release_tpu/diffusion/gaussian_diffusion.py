@@ -72,6 +72,15 @@ class DiffusionConfig:
     # the default.  Training (p_losses) always uses the flax path (dropout +
     # gradients).
     fused_transformer: bool = False
+    # Large-batch cliff fix (BASELINE.md round-3): XLA's per-sample
+    # throughput on the COMPOSED denoiser degrades ~45% from bs=64 to
+    # bs=256 (isolated matmul/attention/FFN ops all scale fine — the
+    # regression is fusion/layout interplay in the full graph).  With
+    # sample_microbatch=N>0, p_sample_loop* run batches larger than N as
+    # sequential N-sized chunks via lax.map inside the same jit, holding
+    # per-sample throughput at the bs=N optimum.  0 = off.  Do not combine
+    # with a dp-sharded batch (chunking would serialize across shards).
+    sample_microbatch: int = 0
 
 
 class NormStats(NamedTuple):
@@ -236,6 +245,27 @@ class CondGaussianDiffusion:
         nonzero = (t[0] != 0).astype(x.dtype)
         return mean + nonzero * jnp.exp(0.5 * log_var) * noise
 
+    def _microbatched(self, fn, key, arrays: dict) -> Array | None:
+        """Run `fn(key, chunk_dict)` over sample_microbatch-sized chunks of
+        the batch via lax.map (one jit, sequential chunks).  Returns None if
+        microbatching does not apply."""
+        mb = self.cfg.sample_microbatch
+        bs = arrays["x_start"].shape[0]
+        if not mb or bs <= mb or bs % mb:
+            return None
+        k = bs // mb
+        chunked = {
+            name: a.reshape(k, mb, *a.shape[1:])
+            for name, a in arrays.items()
+            if a is not None
+        }
+        chunked["key"] = jax.random.split(key, k)
+        out = jax.lax.map(
+            lambda c: fn(c["key"], {n: v for n, v in c.items() if n != "key"}),
+            chunked,
+        )
+        return out.reshape(bs, *out.shape[2:])
+
     def p_sample_loop(
         self,
         params,
@@ -248,6 +278,18 @@ class CondGaussianDiffusion:
     ) -> Array:
         """Full reverse chain as a lax.scan (replaces the python loop at
         :258-270 and the per-step window inpainting at :392-397)."""
+        chunked = self._microbatched(
+            lambda k, c: self.p_sample_loop(
+                params, k, c["x_start"], c["cond_mask"], c.get("padding_mask"),
+                c.get("inpaint_value"), c.get("inpaint_mask"),
+            ),
+            key,
+            {"x_start": x_start, "cond_mask": cond_mask,
+             "padding_mask": padding_mask, "inpaint_value": inpaint_value,
+             "inpaint_mask": inpaint_mask},
+        )
+        if chunked is not None:
+            return chunked
         bs = x_start.shape[0]
         k_init, k_cond, k_loop = jax.random.split(key, 3)
         x = jax.random.normal(k_init, x_start.shape, x_start.dtype)
@@ -289,6 +331,19 @@ class CondGaussianDiffusion:
         inpainting hook as the DDPM chain (the window-chain semantics of
         transformer_cond_diffusion_model.py:395-397 applied to the strided
         schedule)."""
+        chunked = self._microbatched(
+            lambda k, c: self.p_sample_loop_ddim(
+                params, k, c["x_start"], c["cond_mask"], num_steps, eta,
+                c.get("padding_mask"), c.get("inpaint_value"),
+                c.get("inpaint_mask"),
+            ),
+            key,
+            {"x_start": x_start, "cond_mask": cond_mask,
+             "padding_mask": padding_mask, "inpaint_value": inpaint_value,
+             "inpaint_mask": inpaint_mask},
+        )
+        if chunked is not None:
+            return chunked
         bs = x_start.shape[0]
         c = self.consts
         k_init, k_cond, k_loop = jax.random.split(key, 3)

@@ -88,6 +88,45 @@ def test_p_sample_loop_deterministic_and_finite():
     assert np.abs(np.asarray(out1) - np.asarray(out3)).max() > 1e-6
 
 
+def test_p_sample_loop_microbatched_matches_per_chunk_runs():
+    """sample_microbatch=N must produce EXACTLY what N-sized unchunked runs
+    with the per-chunk split keys produce (the large-batch cliff fix is a
+    pure batching transform, BASELINE.md round-3)."""
+    import dataclasses
+
+    diff, params = _small_model()
+    diff_mb = CondGaussianDiffusion(dataclasses.replace(SMALL, sample_microbatch=2))
+    bs, t = 6, SMALL.window
+    x_start = jax.random.uniform(jax.random.PRNGKey(9), (bs, t, 198), minval=-1, maxval=1)
+    cond_mask = head_condition_mask(bs, t)
+    key = jax.random.PRNGKey(10)
+
+    out_mb = diff_mb.p_sample_loop(params, key, x_start, cond_mask)
+    assert out_mb.shape == (bs, t, 198)
+    keys = jax.random.split(key, 3)
+    for i in range(3):
+        ref = diff.p_sample_loop(
+            params, keys[i], x_start[2 * i : 2 * i + 2],
+            cond_mask[2 * i : 2 * i + 2],
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out_mb[2 * i : 2 * i + 2]), np.asarray(ref)
+        )
+
+    # DDIM path + inpainting plumb through chunking too
+    value = jnp.zeros((bs, t, 198)).at[:, :3].set(0.4)
+    mask = jnp.zeros((bs, t, 1)).at[:, :3].set(1.0)
+    out_ddim = diff_mb.p_sample_loop_ddim(
+        params, key, x_start, cond_mask, num_steps=4,
+        inpaint_value=value, inpaint_mask=mask,
+    )
+    assert out_ddim.shape == (bs, t, 198)
+    np.testing.assert_allclose(np.asarray(out_ddim[:, :3]), 0.4, atol=1e-6)
+    # non-divisible batch falls back to the unchunked path
+    out_odd = diff_mb.p_sample_loop(params, key, x_start[:5], cond_mask[:5])
+    assert out_odd.shape == (5, t, 198)
+
+
 def test_p_sample_loop_inpainting_forces_values():
     diff, params = _small_model()
     bs, t, ov = 1, SMALL.window, 4
