@@ -58,13 +58,16 @@ def build_pipeline(
     sampler: str = "ddpm",
     ddim_steps: int = 50,
     timesteps: int = 1000,   # reference value; lower ONLY for smoke runs
+    fused_transformer: bool = False,   # round-3 large-batch modes (BASELINE.md)
+    sample_microbatch: int = 0,
 ) -> EgoEgoPipeline:
     stats = load_norm_stats(stats_path)
     rest_offsets = load_rest_offsets(smplh_path, rest_offsets_path)
 
     diffusion = CondGaussianDiffusion(
         DiffusionConfig(window=window, sampler=sampler, ddim_steps=ddim_steps,
-                        timesteps=timesteps)
+                        timesteps=timesteps, fused_transformer=fused_transformer,
+                        sample_microbatch=sample_microbatch)
     )
     if diffusion_ckpt and os.path.isdir(diffusion_ckpt):
         # orbax checkpoint produced by training.trainer_diffusion (EMA weights)

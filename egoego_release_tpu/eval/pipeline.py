@@ -80,40 +80,71 @@ class EgoEgoPipeline:
 
     # -- stage 1 -----------------------------------------------------------
 
-    def stage1_head_pose(self, record: dict) -> dict:
-        """HeadNet + GravityNet -> world head pose (1, T, 7)
-        (eval_egoego.py:244-295)."""
-        of = jnp.asarray(record["of"][None])  # (1, T, 512)
-        init_quat = jnp.asarray(record["head_pose"][:1, 3:])
-        aligned_slam_trans = jnp.asarray(record["aligned_slam_trans"])
-
+    def _stage1_impl(self, headnet_params, gravitynet_params, of, init_quat,
+                     aligned_slam_trans, ori_trans, ori_mat, gt_head_pose):
+        """Pure stage-1 body for ONE sequence (eval_egoego.py:244-295); jit /
+        vmap composable (the per-op dispatch version cost ~2.3 s/sequence in
+        tunnel round trips on the real chip — BASELINE.md round-3)."""
         head_out = headformer_forward_for_eval(
-            self.headnet, self.headnet_params, of, init_quat, aligned_slam_trans,
-            dist_scale=self.dist_scale,
+            self.headnet, headnet_params, of[None], init_quat[None],
+            aligned_slam_trans, dist_scale=self.dist_scale,
         )
-
-        ori_trans = jnp.asarray(record["ori_slam_trans"])
         ori_trans = ori_trans - ori_trans[0:1]
-        ori_mat = jnp.asarray(record["ori_slam_rot_mat"])
         window = self.gravitynet.window
         feats, mask = prep_gravitynet_input(ori_mat[None], ori_trans[None], window)
-        normal = self.gravitynet.apply(self.gravitynet_params, feats, mask)[0]
+        normal = self.gravitynet.apply(gravitynet_params, feats, mask)[0]
 
-        gt_head_pose = jnp.asarray(record["head_pose"])
         normal_out = gravitynet_eval_transform(
             normal, ori_mat, ori_trans, head_out["pred_scale"], gt_head_pose
         )
-
         # translation from GravityNet, orientation from HeadNet (:275-278)
         t = min(normal_out["head_pose"].shape[0], head_out["head_pose"].shape[1])
         head_pose = jnp.concatenate(
-            [normal_out["head_pose"][:t, :3], head_out["head_pose"][0, :t, 3:]], axis=-1
+            [normal_out["head_pose"][:t, :3], head_out["head_pose"][0, :t, 3:]],
+            axis=-1,
         )
-        return {
-            "head_pose": head_pose,            # (T, 7)
-            "pred_scale": head_out["pred_scale"],
-            "pred_normal": normal,
-        }
+        return head_pose, head_out["pred_scale"], normal
+
+    def _stage1_fn(self, batched: bool):
+        cache_key = "_s1_batched" if batched else "_s1_single"
+        if cache_key not in self.extras:
+            fn = self._stage1_impl
+            if batched:
+                fn = jax.vmap(fn, in_axes=(None, None, 0, 0, 0, 0, 0, 0))
+            self.extras[cache_key] = jax.jit(fn)
+        return self.extras[cache_key]
+
+    def stage1_head_pose(self, record: dict) -> dict:
+        """HeadNet + GravityNet -> world head pose (T, 7)
+        (eval_egoego.py:244-295), as ONE jitted program."""
+        head_pose, pred_scale, normal = self._stage1_fn(False)(
+            self.headnet_params, self.gravitynet_params,
+            jnp.asarray(record["of"]),
+            jnp.asarray(record["head_pose"][0, 3:]),
+            jnp.asarray(record["aligned_slam_trans"]),
+            jnp.asarray(record["ori_slam_trans"]),
+            jnp.asarray(record["ori_slam_rot_mat"]),
+            jnp.asarray(record["head_pose"]),
+        )
+        return {"head_pose": head_pose, "pred_scale": pred_scale,
+                "pred_normal": normal}
+
+    def stage1_head_pose_batched(self, records: list[dict]) -> dict:
+        """N same-length sequences through stage 1 as ONE vmapped+jitted
+        dispatch (TPU-native eval fan-in; per-record dispatch costs a tunnel
+        round trip each).  Returns dict with head_pose (N, T, 7)."""
+        stack = lambda k: jnp.asarray(np.stack([np.asarray(r[k]) for r in records]))
+        head_pose, pred_scale, normal = self._stage1_fn(True)(
+            self.headnet_params, self.gravitynet_params,
+            stack("of"),
+            jnp.asarray(np.stack([np.asarray(r["head_pose"][0, 3:]) for r in records])),
+            stack("aligned_slam_trans"),
+            stack("ori_slam_trans"),
+            stack("ori_slam_rot_mat"),
+            stack("head_pose"),
+        )
+        return {"head_pose": head_pose, "pred_scale": pred_scale,
+                "pred_normal": normal}
 
     # -- stage 2 -----------------------------------------------------------
 
@@ -232,8 +263,9 @@ def evaluate_batch(
     pred_jpos_c = pred_jpos[:, :t] - pred_move
 
     n = hp.shape[0]
+    pred_np = np.asarray(pred_jpos_c)  # one transfer, then host-side slicing
     pred_floors = jnp.asarray([
-        geometry.determine_floor_height_and_contacts(np.asarray(pred_jpos_c[s]), 30)[0]
+        geometry.determine_floor_height_and_contacts(pred_np[s], 30)[0]
         for s in range(n)
     ], dtype=jnp.float32)
 
@@ -241,9 +273,11 @@ def evaluate_batch(
         gt_global_jrot[:, :t], gt_jpos_c, jnp.zeros((n,), jnp.float32),
         pred_jrot[:, :t], pred_jpos_c, pred_floors,
     )
-    return [
-        {k: np.asarray(v[s]) for k, v in md.items()} for s in range(n)
-    ]
+    # ONE device->host transfer per metric key (a per-sequence np.asarray
+    # costs a full tunnel round trip each — n x n_keys of them dominated the
+    # whole pipeline on the real chip; BASELINE.md round-3 e2e bench)
+    md_np = {k: np.asarray(v) for k, v in md.items()}
+    return [{k: v[s] for k, v in md_np.items()} for s in range(n)]
 
 
 def gt_from_smpl_params(pipeline: EgoEgoPipeline, trans, root_orient, body_pose):
@@ -257,6 +291,34 @@ def gt_from_smpl_params(pipeline: EgoEgoPipeline, trans, root_orient, body_pose)
     floor, _, _ = geometry.determine_floor_height_and_contacts(np.asarray(gp), fps=30)
     gp = gp.at[:, :, 2].add(-floor)
     head_pose = jnp.concatenate([gp[:, HEAD_IDX, :], gq[:, HEAD_IDX, :]], axis=-1)
+    return gq, gp, head_pose
+
+
+def gt_from_smpl_params_batched(pipeline: EgoEgoPipeline, trans, root_orient,
+                                body_pose):
+    """Batched GT prep: (N, T, ...) params -> (jrot (N,T,22,4), jpos
+    (N,T,22,3), head_pose (N,T,7)) with ONE FK dispatch and ONE device->host
+    transfer for the per-sequence host-side floor clustering (per-sequence
+    calls cost a tunnel round trip each on the real chip)."""
+    trans = jnp.asarray(trans)
+    n, t = trans.shape[:2]
+    local_aa = jnp.concatenate(
+        [jnp.asarray(root_orient)[:, :, None, :],
+         jnp.asarray(body_pose).reshape(n, t, 21, 3)], axis=2,
+    )
+    gq, gp = fk_mod.fk_smpl(
+        trans.reshape(n * t, 3), local_aa.reshape(n * t, 22, 3),
+        pipeline.rest_offsets,
+    )
+    gq = gq.reshape(n, t, 22, 4)
+    gp = gp.reshape(n, t, 22, 3)
+    gp_np = np.asarray(gp)
+    floors = jnp.asarray(
+        [geometry.determine_floor_height_and_contacts(gp_np[s], fps=30)[0]
+         for s in range(n)], dtype=jnp.float32,
+    )
+    gp = gp - floors[:, None, None, None] * jnp.asarray([0.0, 0.0, 1.0])
+    head_pose = jnp.concatenate([gp[:, :, HEAD_IDX], gq[:, :, HEAD_IDX]], axis=-1)
     return gq, gp, head_pose
 
 

@@ -35,7 +35,13 @@ def main():
 
     import dataclasses
 
-    cfg = DiffusionConfig()
+    cfg = DiffusionConfig(
+        # round-3 large-batch modes (BASELINE.md): E2E_FUSED=1 routes the
+        # denoiser through the fused Pallas layer, E2E_MB=N chunks the
+        # window batch
+        fused_transformer=os.environ.get("E2E_FUSED", "0") == "1",
+        sample_microbatch=int(os.environ.get("E2E_MB", "0")),
+    )
     if ddim:
         cfg = dataclasses.replace(cfg, sampler="ddim", ddim_steps=ddim)
     diff = CondGaussianDiffusion(cfg)

@@ -65,12 +65,13 @@ def main():
     jax.config.update("jax_default_prng_impl", "rbg")  # see bench.py
 
     from egoego_release_tpu.diffusion.gaussian_diffusion import NormStats
+    from egoego_release_tpu.eval import metrics as metrics_mod
     from egoego_release_tpu.eval.build import build_pipeline
     from egoego_release_tpu.eval.pipeline import (
         evaluate_batch,
-        gt_from_smpl_params,
-        stage1_metrics,
+        gt_from_smpl_params_batched,
     )
+    from egoego_release_tpu.ops import rotations as rot
 
     n_seqs = int(os.environ.get("PIPE_SEQS", "16"))
     t = int(os.environ.get("PIPE_FRAMES", "140"))
@@ -104,6 +105,8 @@ def main():
         ddim_steps=ddim or 50,
         # PIPE_TIMESTEPS < 1000 is for CPU smoke runs ONLY
         timesteps=int(os.environ.get("PIPE_TIMESTEPS", "1000")),
+        fused_transformer=os.environ.get("PIPE_FUSED", "0") == "1",
+        sample_microbatch=int(os.environ.get("PIPE_MB", "0")),
     )
 
     records = synth_records(n_seqs, t, rng)
@@ -115,35 +118,47 @@ def main():
         for _ in range(n_seqs)
     ]
 
+    trans_b = np.stack([p[0] for p in gt_params])
+    root_b = np.stack([p[1] for p in gt_params])
+    body_b = np.stack([p[2] for p in gt_params])
+
+    # batched stage-1 head metrics as ONE jitted call (per-seq calls cost a
+    # tunnel round trip each)
+    s1_metrics_jit = jax.jit(jax.vmap(
+        lambda pt, pq, gt_t, gq_: metrics_mod.compute_head_pose_metrics(
+            pt, rot.quat_to_matrix(pq), gt_t, rot.quat_to_matrix(gq_)
+        )
+    ))
+
     def run_once(key):
         times = {}
         t0 = time.perf_counter()
-        gts = [gt_from_smpl_params(pipeline, *p) for p in gt_params]
-        jax.block_until_ready([g[0] for g in gts])
+        gq, gp, gt_head = gt_from_smpl_params_batched(
+            pipeline, trans_b, root_b, body_b
+        )
+        jax.block_until_ready(gp)
         times["gt_prep"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        head_poses = []
-        s1m = []
-        for rec, (gq, gp, gt_head) in zip(records, gts):
-            s1 = pipeline.stage1_head_pose(rec)
-            hp = np.asarray(s1["head_pose"])[:t]
-            s1m.append(stage1_metrics(hp, np.asarray(gt_head)))
-            # floor-align the predicted head to the GT start (eval_egoego:334)
-            hp = hp.copy()
-            hp[:, :3] += np.asarray(gp[0, 15]) - hp[0, :3]
-            head_poses.append(hp)
+        s1 = pipeline.stage1_head_pose_batched(records)
+        hp = np.array(s1["head_pose"])[:, :t]             # (N, T, 7) writable
+        gt_head_np = np.asarray(gt_head)
+        pred, gt = hp.copy(), gt_head_np.copy()
+        pred[:, :, :2] -= pred[:, 0:1, :2]
+        gt[:, :, :2] -= gt[:, 0:1, :2]
+        s1m = jax.tree.map(np.asarray, s1_metrics_jit(
+            jnp.asarray(pred[:, :, :3]), jnp.asarray(pred[:, :, 3:]),
+            jnp.asarray(gt[:, :, :3]), jnp.asarray(gt[:, :, 3:]),
+        ))
+        # floor-align predicted heads to the GT start (eval_egoego:334)
+        gp_np = np.asarray(gp)
+        hp[:, :, :3] += (gp_np[:, 0:1, 15] - hp[:, 0:1, :3])
         times["stage1"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        mds = evaluate_batch(
-            pipeline,
-            np.stack(head_poses),
-            jnp.stack([g[0] for g in gts]),
-            jnp.stack([g[1] for g in gts]),
-            key,
-        )
+        mds = evaluate_batch(pipeline, hp, gq, gp, key)
         times["stage2_fk_metrics"] = time.perf_counter() - t0
+        assert np.isfinite(np.asarray(s1m[0])).all()
         return times, mds
 
     # warmup / compile
