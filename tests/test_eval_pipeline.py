@@ -78,6 +78,62 @@ def test_evaluate_sequence_and_batch_consistency():
     assert extras["local_aa"].shape == (12, 22, 3)
 
 
+def test_stage1_batched_matches_per_record():
+    """stage1_head_pose_batched (one vmapped jit across sequences — the
+    round-3 tunnel-round-trip fix) must reproduce the per-record path."""
+    from egoego_release_tpu.models.gravitynet import HeadNormalFormer
+    from egoego_release_tpu.models.headnet import HeadFormer
+
+    pipe = make_pipeline()
+    t = 16
+    headnet = HeadFormer(d_model=32, n_layers=1, n_head=2, d_k=16, d_v=16,
+                         window=8)
+    gravitynet = HeadNormalFormer(d_model=32, n_layers=1, n_head=2, d_k=16,
+                                  d_v=16, window=t)
+    pipe.headnet = headnet
+    pipe.headnet_params = headnet.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 8, 512)), jnp.ones((1, 8))
+    )
+    pipe.gravitynet = gravitynet
+    pipe.gravitynet_params = gravitynet.init(
+        jax.random.PRNGKey(2), jnp.zeros((1, t, 18)), jnp.ones((1, t))
+    )
+
+    rng = np.random.RandomState(3)
+    records = []
+    for _ in range(3):
+        q = rng.randn(t, 4).astype(np.float32)
+        q /= np.linalg.norm(q, axis=-1, keepdims=True)
+        mats = np.stack([
+            np.eye(3, dtype=np.float32) for _ in range(t)
+        ])
+        records.append({
+            "of": rng.randn(t, 512).astype(np.float32),
+            "head_pose": np.concatenate(
+                [rng.randn(t, 3).astype(np.float32), q], axis=-1
+            ),
+            "aligned_slam_trans": np.cumsum(
+                rng.randn(t, 3).astype(np.float32) * 0.02, 0
+            ),
+            "ori_slam_trans": np.cumsum(
+                rng.randn(t, 3).astype(np.float32) * 0.02, 0
+            ),
+            "ori_slam_rot_mat": mats,
+        })
+
+    batched = pipe.stage1_head_pose_batched(records)
+    for i, rec in enumerate(records):
+        single = pipe.stage1_head_pose(rec)
+        np.testing.assert_allclose(
+            np.asarray(batched["head_pose"][i]),
+            np.asarray(single["head_pose"]), atol=2e-4,
+        )
+        np.testing.assert_allclose(
+            float(batched["pred_scale"][i]), float(single["pred_scale"]),
+            rtol=1e-4,
+        )
+
+
 def test_stage1_metrics_identity():
     rng = np.random.RandomState(4)
     q = rng.randn(10, 4).astype(np.float32)

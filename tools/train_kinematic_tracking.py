@@ -53,11 +53,19 @@ def eval_tracking(env, agent, state, expert_rec, rest_offsets):
     expert = {"qpos": qpos_e, "head_pose": head_e, "head_vels": hvel_e}
     expert = env.prepare_expert(expert)
 
+    from egoego_release_tpu.models.trajar import step_qpos
+
     def step_fn(carry, _):
         env_state = carry
         obs = env.obs(env_state, expert)
         mean, _ = agent.policy.apply(state["policy"], obs)
-        env_state, _, _ = env.step(env_state, mean, expert)
+        # free rollout: no fail_safe freeze (env.step latches done at
+        # head_dist>0.5 m, which would freeze the pose and corrupt the
+        # tracking metric); the capability claim is the raw rollout
+        act = jnp.clip(mean, -20.0, 20.0)
+        nq, nv = step_qpos(env_state.qpos, act)
+        env_state = EnvState(qpos=nq, qvel=nv, t=env_state.t + 1,
+                             done=env_state.done)
         return env_state, env_state.qpos
 
     init = EnvState(
@@ -140,7 +148,10 @@ def bc_pretrain(env, agent, expert_rec, key, steps=2000, lr=1e-3):
         for k in ("qpos", "head_pose", "head_vels")
     }
 
-    cl_opt = optax.adam(lr * 0.3)
+    cl_steps = max(steps // 2, 50)
+    cl_opt = optax.adam(
+        optax.cosine_decay_schedule(lr * 0.3, cl_steps, alpha=0.05)
+    )
     cl_opt_state = cl_opt.init(params)
 
     @jax.jit
@@ -151,6 +162,11 @@ def bc_pretrain(env, agent, expert_rec, key, steps=2000, lr=1e-3):
                 o = env.obs(st, expert_b1)
                 mean, _ = agent.policy.apply(p, o)
                 tgt = inverse_step_qpos(st.qpos, qpos[t + 1][None])
+                # cap the corrective-velocity targets: from a drifted state
+                # the exact inverse angv can reach pi/dt ~ 94 rad/s, and
+                # those outliers dominate the gradient; +-12 is a bounded
+                # correction rate that still closes any gap in a few frames
+                tgt = jnp.clip(tgt, -12.0, 12.0)
                 l = jnp.mean((mean - tgt) ** 2)
                 # clip the propagated action: an out-of-distribution state
                 # early in closed-loop training can otherwise runaway-amplify
@@ -171,9 +187,11 @@ def bc_pretrain(env, agent, expert_rec, key, steps=2000, lr=1e-3):
         updates, cl_opt_state = cl_opt.update(grads, cl_opt_state)
         return optax.apply_updates(params, updates), cl_opt_state, loss
 
-    cl_steps = max(steps // 4, 50)
     for i in range(cl_steps):
         params, cl_opt_state, loss = closed_loop_step(params, cl_opt_state)
+        if (i + 1) % max(cl_steps // 8, 1) == 0:
+            print(f"  closed-loop {i + 1}/{cl_steps}: loss {float(loss):.4f}",
+                  flush=True)
     return params, float(loss)
 
 
