@@ -73,6 +73,8 @@ def run(opt) -> dict:
         window=opt.window,
         headnet_window=opt.headnet_window,
         timesteps=opt.timesteps,
+        fused_transformer=opt.fused,
+        sample_microbatch=opt.sample_microbatch,
     )
     if opt.dp * opt.tp > 1:
         from egoego_release_tpu.parallel.mesh import make_mesh
@@ -201,6 +203,12 @@ def parse_opt(argv=None):
     p.add_argument("--timesteps", type=int, default=1000,
                    help="DDPM steps (1000 = reference; lower for smoke runs)")
     p.add_argument("--sample_bs", type=int, default=1)
+    p.add_argument("--fused", action="store_true",
+                   help="fused Pallas decoder-layer denoiser (faster at "
+                        "batch>=128; bf16-rounding-level drift — BASELINE.md)")
+    p.add_argument("--sample_microbatch", type=int, default=0,
+                   help="chunk the sampling batch to N inside the jit "
+                        "(large-batch cliff fix; 0 = off)")
     p.add_argument("--dp", type=int, default=1,
                    help="data-parallel mesh size: the sample_bs best-of "
                         "candidates fan across chips (SURVEY §2.4)")

@@ -38,6 +38,8 @@ def run(opt) -> dict:
         sampler="ddim" if opt.ddim_steps else "ddpm",
         ddim_steps=opt.ddim_steps or 50,
         timesteps=opt.timesteps,
+        fused_transformer=opt.fused,
+        sample_microbatch=opt.sample_microbatch,
     )
     if opt.dp * opt.tp > 1:
         from egoego_release_tpu.parallel.mesh import make_mesh
@@ -140,6 +142,12 @@ def parse_opt(argv=None):
                    help="sequences per diffusion batch (TPU-native batched eval)")
     p.add_argument("--ddim_steps", type=int, default=0,
                    help="use the fast DDIM sampler with N steps (0 = parity DDPM-1000)")
+    p.add_argument("--fused", action="store_true",
+                   help="fused Pallas decoder-layer denoiser (faster at "
+                        "batch>=128; bf16-rounding-level drift — BASELINE.md)")
+    p.add_argument("--sample_microbatch", type=int, default=0,
+                   help="chunk the sampling batch to N inside the jit "
+                        "(large-batch cliff fix; 0 = off)")
     p.add_argument("--dp", type=int, default=1,
                    help="data-parallel mesh size: sequences/samples fan "
                         "across chips (SURVEY §2.4 eval fan-out)")

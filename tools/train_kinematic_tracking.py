@@ -167,7 +167,11 @@ def bc_pretrain(env, agent, expert_rec, key, steps=2000, lr=1e-3):
                 # those outliers dominate the gradient; +-12 is a bounded
                 # correction rate that still closes any gap in a few frames
                 tgt = jnp.clip(tgt, -12.0, 12.0)
-                l = jnp.mean((mean - tgt) ** 2)
+                # weight the 6 root-velocity dims: global xy/heading come
+                # ONLY from integrating them (step_qpos ignores the quat
+                # slots), so they control all long-horizon drift
+                w = jnp.ones((80,)).at[74:].set(5.0)
+                l = jnp.mean(w * (mean - tgt) ** 2)
                 # clip the propagated action: an out-of-distribution state
                 # early in closed-loop training can otherwise runaway-amplify
                 # through the qvel obs terms (x30/step) to inf
@@ -229,10 +233,13 @@ def main():
           f"tracking {metrics_bc}", flush=True)
 
     t0 = time.time()
-    out = ta.train(
-        CFG, expert_path, rest, iters=iters, num_envs=num_envs, seed=seed,
-        log_every=max(iters // 10, 1), init_policy_params=bc_params,
-    )
+    if iters > 0:
+        out = ta.train(
+            CFG, expert_path, rest, iters=iters, num_envs=num_envs, seed=seed,
+            log_every=max(iters // 10, 1), init_policy_params=bc_params,
+        )
+    else:
+        out = {"state": {"policy": bc_params}, "history": [{"reward_mean": 0.0}]}
     train_time = time.time() - t0
 
     # capability eval: deterministic rollout over the FULL 140-frame
