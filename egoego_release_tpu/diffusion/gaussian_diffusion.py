@@ -81,6 +81,11 @@ class DiffusionConfig:
     # per-sample throughput at the bs=N optimum.  0 = off.  Do not combine
     # with a dp-sharded batch (chunking would serialize across shards).
     sample_microbatch: int = 0
+    # Rematerialize decoder layers in the backward pass (jax.checkpoint on
+    # each DecoderLayer): the release config OOMs HBM at training
+    # micro-batch 256 (18.8G needed) without it.  ~33% extra forward FLOPs
+    # during training only; inference paths are unaffected.
+    remat: bool = False
 
 
 class NormStats(NamedTuple):
@@ -140,6 +145,7 @@ class CondGaussianDiffusion:
             d_v=cfg.d_v,
             max_timesteps=cfg.window + 1,
             dtype=jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32,
+            remat=cfg.remat,
         )
 
     # -- setup ------------------------------------------------------------

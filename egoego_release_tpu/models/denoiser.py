@@ -43,6 +43,7 @@ class TransformerDiffusionModel(nn.Module):
     d_v: int
     max_timesteps: int    # window + 1
     dtype: object = jnp.float32   # transformer computation dtype
+    remat: bool = False   # per-layer rematerialization (training memory)
 
     @nn.compact
     def __call__(
@@ -78,6 +79,7 @@ class TransformerDiffusionModel(nn.Module):
             max_timesteps=self.max_timesteps,
             use_full_attention=True,
             dtype=self.dtype,
+            remat=self.remat,
             name="motion_transformer",
         )(
             src,

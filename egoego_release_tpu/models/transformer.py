@@ -188,6 +188,11 @@ class Decoder(nn.Module):
     use_full_attention: bool = True
     attention_impl: str = "auto"
     dtype: object = jnp.float32
+    # rematerialize each DecoderLayer in the backward pass (jax.checkpoint):
+    # trades ~33% more FLOPs for O(n_layers x B x T x d_model) less HBO temp
+    # memory — lets the release config train at micro-batch 256 where the
+    # default OOMs at 18.8G (BASELINE.md round-3).  Param tree unchanged.
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -216,13 +221,17 @@ class Decoder(nn.Module):
             )[None].repeat(emb.shape[0], axis=0)
 
         out = (emb + pos_emb.astype(emb.dtype))
+        # static_argnums: `deterministic` is python control flow (Dropout
+        # branches on it) and must not be traced by the remat wrapper
+        layer_cls = (nn.remat(DecoderLayer, static_argnums=(4,))
+                     if self.remat else DecoderLayer)
         attns = []
         for i in range(self.n_layers):
-            out, attn = DecoderLayer(
+            out, attn = layer_cls(
                 self.d_model, self.n_head, self.d_k, self.d_v,
                 attention_impl=self.attention_impl, dtype=self.dtype,
                 name=f"layer_{i}"
-            )(out, time_mask, padding_mask, deterministic=deterministic)
+            )(out, time_mask, padding_mask, deterministic)
             attns.append(attn)
         return out, attns
 

@@ -127,6 +127,34 @@ def test_p_sample_loop_microbatched_matches_per_chunk_runs():
     assert out_odd.shape == (5, t, 198)
 
 
+def test_remat_preserves_params_loss_and_grads():
+    """DiffusionConfig(remat=True) wraps each DecoderLayer in jax.checkpoint:
+    the param tree, loss, and gradients must be identical — only training
+    memory changes (BASELINE.md round-3 micro-batch-256 OOM fix)."""
+    import dataclasses
+
+    diff, params = _small_model()
+    diff_r = CondGaussianDiffusion(dataclasses.replace(SMALL, remat=True))
+    params_r = diff_r.init_params(jax.random.PRNGKey(0))
+    assert jax.tree.structure(params) == jax.tree.structure(params_r)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(params_r)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    bs, t = 2, SMALL.window
+    x = jax.random.uniform(jax.random.PRNGKey(1), (bs, t, 198), minval=-1, maxval=1)
+    cond_mask = head_condition_mask(bs, t)
+
+    def loss_fn(d):
+        return lambda p: d.p_losses(p, jax.random.PRNGKey(2), x, cond_mask,
+                                    train=True)
+
+    l0, g0 = jax.value_and_grad(loss_fn(diff))(params)
+    l1, g1 = jax.value_and_grad(loss_fn(diff_r))(params)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
 def test_p_sample_loop_inpainting_forces_values():
     diff, params = _small_model()
     bs, t, ov = 1, SMALL.window, 4
