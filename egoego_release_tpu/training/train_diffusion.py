@@ -69,7 +69,7 @@ def run(cfg, train_data_path: str):
         d_model=s2.d_model, n_dec_layers=s2.n_dec_layers, n_head=s2.n_head,
         d_k=s2.d_k, d_v=s2.d_v, window=s2.window, timesteps=s2.timesteps,
         objective=s2.objective, beta_schedule=s2.beta_schedule,
-        loss_type=s2.loss_type,
+        loss_type=s2.loss_type, remat=s2.remat,
     ))
     trainer = DiffusionTrainer(
         diffusion, lr=cfg.train.learning_rate, grad_accum=cfg.train.grad_accum,

@@ -59,6 +59,7 @@ class Stage2ModelConfig:
     objective: str = "pred_x0"
     beta_schedule: str = "cosine"
     loss_type: str = "l1"
+    remat: bool = False   # per-layer jax.checkpoint (large micro-batches)
 
 
 @dataclass(frozen=True)
