@@ -517,6 +517,7 @@ class CondGaussianDiffusion:
         head_jquat: Array,     # (B, T, 4)
         stats: NormStats,
         rest_offsets: Array,
+        mesh=None,             # dp-shard the stacked (windows x B) batch
     ):
         """Throughput mode (documented DEVIATION from the reference): all
         windows of all sequences are canonicalized and denoised as ONE batch
@@ -548,10 +549,24 @@ class CondGaussianDiffusion:
             w_jquat = jnp.stack([head_jquat[:, t : t + cfg.window] for t in full], 0)
             w_jpos = w_jpos.reshape(-1, cfg.window, 3)
             w_jquat = w_jquat.reshape(-1, cfg.window, 4)
+            if mesh is not None:
+                # SURVEY §2.4: long sequences shard BY WINDOWS — after the
+                # per-window canonicalization the windows are independent,
+                # so the stacked (n_windows*B) batch fans dp-wise across
+                # chips (pad to dp, slice back below)
+                from egoego_release_tpu.parallel.mesh import pad_to_dp, shard_batch
+
+                n_stack = w_jpos.shape[0]
+                w_jpos, _ = pad_to_dp(w_jpos, mesh)
+                w_jquat, _ = pad_to_dp(w_jquat, mesh)
+                w_jpos = shard_batch(w_jpos, mesh)
+                w_jquat = shard_batch(w_jquat, mesh)
             key, kw = jax.random.split(key)
             aa, root, headp = self._sample_window_jit(
                 params, kw, w_jpos, w_jquat, (stats, rest_offsets), False
             )
+            if mesh is not None:
+                aa, root, headp = aa[:n_stack], root[:n_stack], headp[:n_stack]
             aa = aa.reshape(len(full), bsz, cfg.window, NUM_JOINTS, 3)
             root = root.reshape(len(full), bsz, cfg.window, 3)
             headp = headp.reshape(len(full), bsz, cfg.window, 3)

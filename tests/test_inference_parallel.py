@@ -115,6 +115,31 @@ def test_pipeline_shard_generates_sharded_and_pads():
     assert any("tp" in list(s) for s in specs)
 
 
+def test_parallel_window_mode_sharded_by_windows():
+    """SURVEY §2.4: very long sequences shard BY WINDOWS in the
+    parallel-window mode — the stacked (n_windows x B) batch fans over dp
+    and matches the unsharded run."""
+    diff = CondGaussianDiffusion(TINY)
+    params = diff.init_params(jax.random.PRNGKey(0))
+    # 3 full windows at window=8/stride=6 from 22 frames, B=2 -> stack of 6
+    head_jpos, head_jquat, stats, rest_offsets = chain_inputs(bs=2, t_total=22)
+    key = jax.random.PRNGKey(11)
+
+    aa0, root0 = diff.sample_sliding_window_parallel(
+        params, key, head_jpos, head_jquat, stats, rest_offsets
+    )
+    mesh = make_mesh(dp=4, tp=2)
+    diff_m = CondGaussianDiffusion(TINY)
+    with mesh:
+        aa1, root1 = diff_m.sample_sliding_window_parallel(
+            shard_params(params, mesh), key, head_jpos, head_jquat, stats,
+            rest_offsets, mesh=mesh,
+        )
+    assert np.isfinite(np.asarray(aa1)).all()
+    np.testing.assert_allclose(np.asarray(aa0), np.asarray(aa1), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(root0), np.asarray(root1), atol=2e-3)
+
+
 def test_pad_to_dp():
     mesh = make_mesh(dp=4, tp=2)
     x = jnp.arange(6, dtype=jnp.float32).reshape(6, 1)
