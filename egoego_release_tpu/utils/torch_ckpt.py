@@ -234,3 +234,47 @@ def convert_grucell(sd: dict, prefix: str) -> dict:
         "hz": {"kernel": seg(w_hh, 1).T},
         "hn": {"kernel": seg(w_hh, 2).T, "bias": seg(b_hh, 2)},
     }
+
+
+def main(argv=None):
+    """Convert a released torch checkpoint to an orbax pytree on disk.
+
+    python -m egoego_release_tpu.utils.torch_ckpt stage2 stage2_diffusion_4.pt out/
+    python -m egoego_release_tpu.utils.torch_ckpt headnet stage1_headnet_ares_250.pt out/
+
+    (The eval CLIs also accept the torch .pt files directly — this exists
+    for users who want a pure-JAX artifact, e.g. to serve without torch.)
+    """
+    import argparse
+    import os
+
+    import jax
+    import orbax.checkpoint as ocp
+
+    p = argparse.ArgumentParser(description=main.__doc__)
+    p.add_argument("kind", choices=["stage2", "headnet", "gravitynet"])
+    p.add_argument("torch_ckpt")
+    p.add_argument("out_dir")
+    p.add_argument("--n_layers", type=int, default=None)
+    p.add_argument("--no_ema", action="store_true",
+                   help="stage2: convert the raw model weights, not the EMA")
+    a = p.parse_args(argv)
+
+    if a.kind == "stage2":
+        params, step = load_stage2_diffusion_ckpt(
+            a.torch_ckpt, n_layers=a.n_layers or 4, use_ema=not a.no_ema
+        )
+    else:
+        params = load_stage1_ckpt(a.torch_ckpt, a.kind,
+                                  n_layers=a.n_layers or 2)
+        step = 0
+    n = sum(x.size for x in jax.tree.leaves(params))
+    path = os.path.abspath(a.out_dir)
+    ocp.PyTreeCheckpointer().save(
+        path, {"model": params, "step": int(step)}, force=True
+    )
+    print(f"{a.kind}: {n:,} params (step {int(step)}) -> {path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -198,6 +198,27 @@ def test_headformer_ckpt_roundtrip_structure():
     assert np.isfinite(np.asarray(va)).all()
 
 
+def test_torch_ckpt_cli_converts_stage2_to_orbax(tmp_path):
+    """python -m egoego_release_tpu.utils.torch_ckpt stage2 <pt> <out>:
+    writes an orbax pytree that restores to the converted params."""
+    import orbax.checkpoint as ocp
+
+    from egoego_release_tpu.utils import torch_ckpt as tc
+
+    sd = rand_sd()
+    pt = tmp_path / "stage2.pt"
+    torch.save({"model": sd, "step": 7}, pt)
+    out = tmp_path / "orbax_out"
+    tc.main(["stage2", str(pt), str(out), "--n_layers", str(N_LAYERS)])
+
+    restored = ocp.PyTreeCheckpointer().restore(str(out))
+    assert int(restored["step"]) == 7
+    expect = tc.convert_denoiser({k: v.numpy() for k, v in sd.items()},
+                                 n_layers=N_LAYERS)
+    for a, b in zip(jax.tree.leaves(expect), jax.tree.leaves(restored["model"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_stage1_shape_validation_rejects_wrong_dims():
     """A checkpoint trained at non-release dims (e.g. d_k=64) must be
     rejected with a clear error instead of failing inside apply()."""
