@@ -66,11 +66,15 @@ class DiffusionConfig:
     sampler: str = "ddpm"          # "ddim" = fast strided sampler (deviation)
     ddim_steps: int = 50
     # Route inference denoiser forwards through the fused Pallas decoder-layer
-    # kernel (ops/fused_layer.py).  Measured AT PARITY with the XLA path at
-    # the flagship scale (1.452 vs 1.445 ms/forward, bs=64 — the forward is
-    # MXU-compute-bound at ~126 TFLOPS either way; BASELINE.md), so XLA stays
-    # the default.  Training (p_losses) always uses the flax path (dropout +
-    # gradients).
+    # kernel (ops/fused_layer.py).  Round-3 status (BASELINE.md): WINS the
+    # bare-sampler large-batch regime (21.5 vs 33.1 us/sample at bs=256;
+    # parity at bs<=64 where both paths are MXU-bound) and is the bench.py
+    # default together with sample_microbatch — but LOSES ~15% inside the
+    # whole-chain jit (the custom call is a fusion barrier; XLA folds the
+    # posterior elementwise work into its own matmul pipeline), so the
+    # canonical-chain default stays XLA.  bf16-rounding-level drift vs the
+    # flax path; golden/parity tests always use flax.  Training (p_losses)
+    # always uses the flax path (dropout + gradients).
     fused_transformer: bool = False
     # Large-batch cliff fix (BASELINE.md round-3): XLA's per-sample
     # throughput on the COMPOSED denoiser degrades ~45% from bs=64 to
