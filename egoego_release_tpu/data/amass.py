@@ -156,12 +156,19 @@ class AMASSWindowDataset:
 
     def __getitem__(self, index: int) -> dict:
         """motion (window, 198) normalized, zero-padded; seq_len
-        (amass_diffusion_dataset.py:515-538)."""
+        (amass_diffusion_dataset.py:515-538).
+
+        Pure numpy: a jnp normalize here would cost one device round trip
+        PER ITEM per batch — ~25 s/step through the TPU tunnel at batch 256
+        (round-3 learning-check stall)."""
         w = self.windows[index]
-        jpos = np.asarray(
-            normalize_jpos(jnp.asarray(w["global_jpos"].reshape(-1, 22, 3)), self.stats)
-        ).reshape(-1, 66)
-        motion = np.concatenate([jpos, w["global_rot_6d"]], axis=-1).astype(np.float32)
+        jpos_min = np.asarray(self.stats.jpos_min)
+        jpos_max = np.asarray(self.stats.jpos_max)
+        jpos = w["global_jpos"].reshape(-1, 22, 3)
+        jpos = (jpos - jpos_min) / (jpos_max - jpos_min) * 2.0 - 1.0
+        motion = np.concatenate(
+            [jpos.reshape(-1, 66), w["global_rot_6d"]], axis=-1
+        ).astype(np.float32)
         seq_len = motion.shape[0]
         if seq_len < self.window:
             motion = np.concatenate(
