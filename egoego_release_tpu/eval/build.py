@@ -36,6 +36,21 @@ def load_rest_offsets(smplh_path: str | None, rest_offsets_path: str | None):
     )
 
 
+def _load_stage1_params(path: str, kind: str, n_layers: int, *,
+                        d_model: int, n_head: int, d_k: int, d_v: int):
+    """Stage-1 params from either an orbax epoch dir written by
+    training/train_stage1.py (`{"epoch", "params"}` pytree) or the
+    reference's torch .pt file."""
+    if os.path.isdir(path):
+        import orbax.checkpoint as ocp
+
+        tree = ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+        return jax.tree.map(jnp.asarray, tree.get("params", tree))
+    return torch_ckpt.load_stage1_ckpt(
+        path, kind, n_layers, d_model=d_model, n_head=n_head, d_k=d_k, d_v=d_v,
+    )
+
+
 def build_pipeline(
     *,
     stats_path: str,
@@ -86,7 +101,7 @@ def build_pipeline(
         d_k=d_k, d_v=d_v, window=headnet_window,
     )
     if headnet_ckpt and os.path.exists(headnet_ckpt):
-        headnet_params = torch_ckpt.load_stage1_ckpt(
+        headnet_params = _load_stage1_params(
             headnet_ckpt, "headnet", headnet_layers,
             d_model=headnet_d_model, n_head=n_head, d_k=d_k, d_v=d_v,
         )
@@ -102,7 +117,7 @@ def build_pipeline(
         d_k=d_k, d_v=d_v, window=gravitynet_window,
     )
     if gravitynet_ckpt and os.path.exists(gravitynet_ckpt):
-        gravitynet_params = torch_ckpt.load_stage1_ckpt(
+        gravitynet_params = _load_stage1_params(
             gravitynet_ckpt, "gravitynet", gravitynet_layers,
             d_model=gravitynet_d_model, n_head=n_head, d_k=d_k, d_v=d_v,
         )

@@ -91,3 +91,31 @@ def test_train_diffusion_cli_auto_resume(tmp_path):
     run(load_config(overrides=overrides), data_path)
     second = latest_checkpoint(weights)
     assert second and second.endswith("model-6")
+
+
+def test_stage1_orbax_ckpt_loads_into_eval_pipeline(tmp_path):
+    """Stage-1 checkpoints written by training/train_stage1.py (orbax epoch
+    dirs) must load through eval/build.py's stage-1 loader — the user-facing
+    train-here -> eval-here loop (the torch .pt branch covers the reference's
+    released checkpoints; tests/test_torch_ckpt.py)."""
+    import jax.numpy as jnp
+
+    from egoego_release_tpu.eval.build import _load_stage1_params
+    from egoego_release_tpu.models.headnet import HeadFormer
+    from egoego_release_tpu.training.train_stage1 import _save_stage1_ckpt
+    from egoego_release_tpu.training.trainer_stage1 import Stage1State
+
+    model = HeadFormer(d_model=16, n_layers=1, n_head=2, d_k=8, d_v=8, window=6)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 6, 512)), jnp.ones((1, 6)))
+    state = Stage1State(params=params, opt_state=None,
+                        epoch=jnp.zeros((), jnp.int32))
+    path = _save_stage1_ckpt(str(tmp_path / "ck"), state, epoch=3)
+
+    loaded = _load_stage1_params(path, "headnet", 1, d_model=16, n_head=2,
+                                 d_k=8, d_v=8)
+    flat_a = jax.tree_util.tree_leaves_with_path(params)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(loaded))
+    assert len(flat_a) == len(flat_b)
+    for p, v in flat_a:
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(flat_b[p]))
