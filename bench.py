@@ -45,12 +45,20 @@ def main():
     # for round-2's XLA bs=48.  Numerics: bf16-rounding-level drift vs the
     # flax path (end-of-chain max ~0.019 on outputs with std 0.69); parity
     # mode (and all golden tests) stay on the flax path.
+    # Round-3 update: the fused denoise-STEP path (ops/fused_step.py — the
+    # whole reverse step as n_dec_layers pallas_calls, frames padded to the
+    # sublane tile) matches the fused-layer+microbatch number at bs=256
+    # WITHOUT needing microbatch chunking (53.8 vs 53.4-54.0) and wins the
+    # canonical chain outright (39.8 vs 32.9 seqs/sec, tools/bench_e2e.py) —
+    # so it is now the single default for both.  BENCH_STEP=0 BENCH_FUSED=1
+    # restores the round-3 fused-layer path; both 0 = plain XLA.
     bs = int(os.environ.get("BENCH_BATCH", "256"))
-    fused = os.environ.get("BENCH_FUSED", "1") == "1"
-    mb = int(os.environ.get("BENCH_MICROBATCH", "64"))
+    step = os.environ.get("BENCH_STEP", "1") == "1"
+    fused = os.environ.get("BENCH_FUSED", "0") == "1"
+    mb = int(os.environ.get("BENCH_MICROBATCH", "64" if fused and not step else "0"))
     cfg = dataclasses.replace(
         DiffusionConfig(),  # full released config
-        fused_transformer=fused, sample_microbatch=mb,
+        fused_step=step, fused_transformer=fused, sample_microbatch=mb,
     )
     diff = CondGaussianDiffusion(cfg)
     params = diff.init_params(jax.random.PRNGKey(0))

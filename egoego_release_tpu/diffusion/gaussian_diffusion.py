@@ -76,6 +76,14 @@ class DiffusionConfig:
     # flax path; golden/parity tests always use flax.  Training (p_losses)
     # always uses the flax path (dropout + gradients).
     fused_transformer: bool = False
+    # True fused denoise-STEP (ops/fused_step.py): the sampling loops run
+    # each reverse step as exactly n_dec_layers pallas_calls with the stem /
+    # posterior-update / overlap-inpaint elementwise work folded into the
+    # first/last kernels — closing the fusion-barrier gap that makes
+    # fused_transformer lose to XLA inside the whole-chain jit (BASELINE.md
+    # round-3 root cause).  Inference-only; training and parity/golden tests
+    # stay on the flax path.  Requires n_dec_layers >= 2.
+    fused_step: bool = False
     # Large-batch cliff fix (BASELINE.md round-3): XLA's per-sample
     # throughput on the COMPOSED denoiser degrades ~45% from bs=64 to
     # bs=256 (isolated matmul/attention/FFN ops all scale fine — the
@@ -300,6 +308,14 @@ class CondGaussianDiffusion:
         )
         if chunked is not None:
             return chunked
+        if self.cfg.fused_step:
+            from egoego_release_tpu.ops.fused_step import fused_p_sample_loop
+
+            return fused_p_sample_loop(
+                self, params, key, x_start, cond_mask, padding_mask,
+                inpaint_value, inpaint_mask,
+                interpret=jax.default_backend() == "cpu",
+            )
         bs = x_start.shape[0]
         k_init, k_cond, k_loop = jax.random.split(key, 3)
         x = jax.random.normal(k_init, x_start.shape, x_start.dtype)
@@ -354,6 +370,14 @@ class CondGaussianDiffusion:
         )
         if chunked is not None:
             return chunked
+        if self.cfg.fused_step:
+            from egoego_release_tpu.ops.fused_step import fused_p_sample_loop
+
+            return fused_p_sample_loop(
+                self, params, key, x_start, cond_mask, padding_mask,
+                inpaint_value, inpaint_mask, ddim_steps=num_steps, eta=eta,
+                interpret=jax.default_backend() == "cpu",
+            )
         bs = x_start.shape[0]
         c = self.consts
         k_init, k_cond, k_loop = jax.random.split(key, 3)

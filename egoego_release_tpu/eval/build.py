@@ -74,6 +74,7 @@ def build_pipeline(
     ddim_steps: int = 50,
     timesteps: int = 1000,   # reference value; lower ONLY for smoke runs
     fused_transformer: bool = False,   # round-3 large-batch modes (BASELINE.md)
+    fused_step: bool = False,          # fused denoise-step kernels (chain best)
     sample_microbatch: int = 0,
 ) -> EgoEgoPipeline:
     stats = load_norm_stats(stats_path)
@@ -82,6 +83,7 @@ def build_pipeline(
     diffusion = CondGaussianDiffusion(
         DiffusionConfig(window=window, sampler=sampler, ddim_steps=ddim_steps,
                         timesteps=timesteps, fused_transformer=fused_transformer,
+                        fused_step=fused_step,
                         sample_microbatch=sample_microbatch)
     )
     if diffusion_ckpt and os.path.isdir(diffusion_ckpt):

@@ -39,6 +39,7 @@ def run(opt) -> dict:
         ddim_steps=opt.ddim_steps or 50,
         timesteps=opt.timesteps,
         fused_transformer=opt.fused,
+        fused_step=opt.fused_step,
         sample_microbatch=opt.sample_microbatch,
     )
     if opt.dp * opt.tp > 1:
@@ -145,6 +146,10 @@ def parse_opt(argv=None):
     p.add_argument("--fused", action="store_true",
                    help="fused Pallas decoder-layer denoiser (faster at "
                         "batch>=128; bf16-rounding-level drift — BASELINE.md)")
+    p.add_argument("--fused_step", action="store_true",
+                   help="fused denoise-STEP kernels (ops/fused_step.py): the "
+                        "fastest canonical-chain mode (39.8 vs 32.9 seqs/sec "
+                        "at bs=256 — BASELINE.md round-3); bf16-level drift")
     p.add_argument("--sample_microbatch", type=int, default=0,
                    help="chunk the sampling batch to N inside the jit "
                         "(large-batch cliff fix; 0 = off)")

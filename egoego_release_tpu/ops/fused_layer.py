@@ -40,14 +40,11 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _layer_kernel(
-    # inputs
-    x_ref, mask_ref,
-    wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
-    wfc_ref, bfc_ref, ln1s_ref, ln1b_ref,
-    w1_ref, b1_ref, w2_ref, b2_ref, ln2s_ref, ln2b_ref,
-    # output
-    o_ref,
+def _layer_body(
+    x, mask,
+    wq, bq, wk, bk, wv, bv,
+    wfc, bfc, ln1s, ln1b,
+    w1, b1, w2, b2, ln2s, ln2b,
     *,
     n_head: int,
     d_k: int,
@@ -56,8 +53,12 @@ def _layer_kernel(
     scale: float,
     cdt,                      # matmul-input dtype (bf16 on TPU, f32 in tests)
 ):
-    bt, tp, dm = x_ref.shape
-    x = x_ref[:]                                     # (Bt, Tp, dm) f32
+    """One DecoderLayer on VMEM-resident *values*: x (Bt, Tp, dm) f32, mask
+    (Bt*Tp, 1) f32, weights as loaded arrays.  Shared by the standalone
+    fused-layer kernel below and the fused denoise-step kernels
+    (ops/fused_step.py) that prepend/append extra work in the same
+    pallas_call."""
+    bt, tp, dm = x.shape
     xm = x.reshape(bt * tp, dm).astype(cdt)
 
     dot = functools.partial(
@@ -65,9 +66,9 @@ def _layer_kernel(
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    q = (dot(xm, wq_ref[:]) + bq_ref[:]).astype(cdt)   # (Bt*Tp, H*dk)
-    k = (dot(xm, wk_ref[:]) + bk_ref[:]).astype(cdt)
-    v = (dot(xm, wv_ref[:]) + bv_ref[:]).astype(cdt)
+    q = (dot(xm, wq) + bq).astype(cdt)               # (Bt*Tp, H*dk)
+    k = (dot(xm, wk) + bk).astype(cdt)
+    v = (dot(xm, wv) + bv).astype(cdt)
     q3 = q.reshape(bt, tp, n_head * d_k)
     k3 = k.reshape(bt, tp, n_head * d_k)
     v3 = v.reshape(bt, tp, n_head * d_v)
@@ -93,21 +94,45 @@ def _layer_kernel(
         ctx_rows.append(jnp.concatenate(heads, axis=-1))  # (Tp, H*dv)
     ctx = jnp.stack(ctx_rows).reshape(bt * tp, n_head * d_v)
 
-    attn = dot(ctx.astype(cdt), wfc_ref[:]) + bfc_ref[:]  # (Bt*Tp, dm)
+    attn = dot(ctx.astype(cdt), wfc) + bfc           # (Bt*Tp, dm)
 
     def layer_norm(y, scale_row, bias_row):
         mu = jnp.mean(y, axis=-1, keepdims=True)
         var = jnp.mean((y - mu) ** 2, axis=-1, keepdims=True)
         return (y - mu) * jax.lax.rsqrt(var + 1e-5) * scale_row + bias_row
 
-    mask = mask_ref[:, 0:1]                          # (Bt*Tp, 1) f32
-    h0 = layer_norm(attn + x.reshape(bt * tp, dm), ln1s_ref[:], ln1b_ref[:])
+    h0 = layer_norm(attn + x.reshape(bt * tp, dm), ln1s, ln1b)
     h0 = h0 * mask
 
-    h1 = jnp.maximum(dot(h0.astype(cdt), w1_ref[:]) + b1_ref[:], 0.0)
-    h2 = dot(h1.astype(cdt), w2_ref[:]) + b2_ref[:]
-    out = layer_norm(h2 + h0, ln2s_ref[:], ln2b_ref[:]) * mask
-    o_ref[:] = out.reshape(bt, tp, dm)
+    h1 = jnp.maximum(dot(h0.astype(cdt), w1) + b1, 0.0)
+    h2 = dot(h1.astype(cdt), w2) + b2
+    out = layer_norm(h2 + h0, ln2s, ln2b) * mask
+    return out.reshape(bt, tp, dm)
+
+
+def _layer_kernel(
+    # inputs
+    x_ref, mask_ref,
+    wq_ref, bq_ref, wk_ref, bk_ref, wv_ref, bv_ref,
+    wfc_ref, bfc_ref, ln1s_ref, ln1b_ref,
+    w1_ref, b1_ref, w2_ref, b2_ref, ln2s_ref, ln2b_ref,
+    # output
+    o_ref,
+    *,
+    n_head: int,
+    d_k: int,
+    d_v: int,
+    t_real: int,
+    scale: float,
+    cdt,
+):
+    o_ref[:] = _layer_body(
+        x_ref[:], mask_ref[:, 0:1],
+        wq_ref[:], bq_ref[:], wk_ref[:], bk_ref[:], wv_ref[:], bv_ref[:],
+        wfc_ref[:], bfc_ref[:], ln1s_ref[:], ln1b_ref[:],
+        w1_ref[:], b1_ref[:], w2_ref[:], b2_ref[:], ln2s_ref[:], ln2b_ref[:],
+        n_head=n_head, d_k=d_k, d_v=d_v, t_real=t_real, scale=scale, cdt=cdt,
+    )
 
 
 def layer_params_from_flax(layer: dict, dtype=jnp.bfloat16) -> dict:

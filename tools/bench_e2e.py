@@ -40,6 +40,8 @@ def main():
         # denoiser through the fused Pallas layer, E2E_MB=N chunks the
         # window batch
         fused_transformer=os.environ.get("E2E_FUSED", "0") == "1",
+        # E2E_STEP=1: the fused denoise-STEP path (ops/fused_step.py)
+        fused_step=os.environ.get("E2E_STEP", "0") == "1",
         sample_microbatch=int(os.environ.get("E2E_MB", "0")),
     )
     if ddim:

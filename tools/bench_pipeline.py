@@ -106,6 +106,7 @@ def main():
         # PIPE_TIMESTEPS < 1000 is for CPU smoke runs ONLY
         timesteps=int(os.environ.get("PIPE_TIMESTEPS", "1000")),
         fused_transformer=os.environ.get("PIPE_FUSED", "0") == "1",
+        fused_step=os.environ.get("PIPE_STEP", "0") == "1",
         sample_microbatch=int(os.environ.get("PIPE_MB", "0")),
     )
 
