@@ -68,21 +68,22 @@ class DiffusionConfig:
     # Route inference denoiser forwards through the fused Pallas decoder-layer
     # kernel (ops/fused_layer.py).  Round-3 status (BASELINE.md): WINS the
     # bare-sampler large-batch regime (21.5 vs 33.1 us/sample at bs=256;
-    # parity at bs<=64 where both paths are MXU-bound) and is the bench.py
-    # default together with sample_microbatch — but LOSES ~15% inside the
-    # whole-chain jit (the custom call is a fusion barrier; XLA folds the
-    # posterior elementwise work into its own matmul pipeline), so the
-    # canonical-chain default stays XLA.  bf16-rounding-level drift vs the
-    # flax path; golden/parity tests always use flax.  Training (p_losses)
-    # always uses the flax path (dropout + gradients).
+    # parity at bs<=64 where both paths are MXU-bound) — but SUPERSEDED by
+    # fused_step below, which matches it bare and beats it (and XLA) inside
+    # the canonical chain.  bf16-rounding-level drift vs the flax path;
+    # golden/parity tests always use flax.  Training (p_losses) always uses
+    # the flax path (dropout + gradients).
     fused_transformer: bool = False
     # True fused denoise-STEP (ops/fused_step.py): the sampling loops run
     # each reverse step as exactly n_dec_layers pallas_calls with the stem /
     # posterior-update / overlap-inpaint elementwise work folded into the
-    # first/last kernels — closing the fusion-barrier gap that makes
-    # fused_transformer lose to XLA inside the whole-chain jit (BASELINE.md
-    # round-3 root cause).  Inference-only; training and parity/golden tests
-    # stay on the flax path.  Requires n_dec_layers >= 2.
+    # first/last kernels and frames padded to the sublane tile (8) instead
+    # of 128 — so ragged chain windows stop paying 128-token kernels (the
+    # REAL cause of fused_transformer losing in-chain; BASELINE.md).  The
+    # fastest mode for both the bare sampler (54.3 samples/sec at bs=256,
+    # no microbatch needed) and the canonical chain (39.8 vs XLA's 32.9
+    # seqs/sec).  Inference-only; training and parity/golden tests stay on
+    # the flax path.  Requires n_dec_layers >= 2.
     fused_step: bool = False
     # Large-batch cliff fix (BASELINE.md round-3): XLA's per-sample
     # throughput on the COMPOSED denoiser degrades ~45% from bs=64 to

@@ -2,17 +2,23 @@
 
 BASELINE.md round-3 measured that the per-layer fused kernel
 (ops/fused_layer.py) LOSES ~15% to XLA inside the canonical sliding-window
-chain: the pallas custom-call is a fusion barrier, so the sampler's
-elementwise work — input stem, noise-token prepend, positional add, output
-projection, x0 clip, posterior FMA, noise injection, overlap inpainting
-(transformer_cond_diffusion_model.py:231-256 p_mean_variance, :248-256
-p_sample, :392-397 per-step window inpainting) — which XLA folds into its
-own matmul pipeline for free, runs as serial XLA kernels between pallas
-calls on the fused path.
+chain.  The measured root cause (after disproving a fusion-barrier theory —
+see BASELINE.md "fused denoise-STEP" section): fused_decoder_layer pads
+every window to the 128-lane tile, so the chain's RAGGED tail windows (a
+140-frame sequence ends with a 30-frame window = 31 tokens) pay 4x the MXU
+work XLA spends on a T=31 shape.  Here frames pad only to the f32 SUBLANE
+tile (8); ragged windows run right-sized kernels and the chain win follows
+(39.8 vs XLA's 32.9 seqs/sec at bs=256).
 
-This module closes that gap by folding the elementwise prologue/epilogue
-INTO the first/last layer kernels, so one reverse step is exactly
-`n_dec_layers` pallas_calls and nothing else touches the (B, T, D) tensors:
+Additionally, the sampler's elementwise work — input stem, noise-token
+prepend, positional add, output projection, x0 clip, posterior FMA, noise
+injection, overlap inpainting
+(transformer_cond_diffusion_model.py:231-256 p_mean_variance, :248-256
+p_sample, :392-397 per-step window inpainting) — is folded INTO the
+first/last layer kernels, so one reverse step is exactly `n_dec_layers`
+pallas_calls and nothing else touches the (B, T, D) tensors (measured
+throughput-neutral, but it removes the need for sample_microbatch chunking:
+a three-pallas-call graph has no XLA composed-graph cliff to dodge):
 
   kernel 1   stem (split concat-matmul: x @ Wx + x_cond @ Wc + b), the
              noise-level token prepended at slot 0, the sinusoidal position
