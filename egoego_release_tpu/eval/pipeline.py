@@ -253,14 +253,28 @@ def evaluate_batch(
     """
     hp = jnp.asarray(head_poses)
     local_aa, root_pos = pipeline.stage2_generate_batched(hp, key)
-    pred_jrot, pred_jpos = pipeline.fk(root_pos, local_aa)
 
-    t = min(pred_jpos.shape[1], gt_global_jpos.shape[1])
-    gt_move = (gt_global_jpos[:, 0:1, HEAD_IDX:HEAD_IDX + 1, :]
-               * jnp.asarray([1.0, 1.0, 0.0]))
-    pred_move = pred_jpos[:, 0:1, HEAD_IDX:HEAD_IDX + 1, :] * jnp.asarray([1.0, 1.0, 0.0])
-    gt_jpos_c = gt_global_jpos[:, :t] - gt_move
-    pred_jpos_c = pred_jpos[:, :t] - pred_move
+    # FK + head-xy centering as ONE jitted program (these ran as ~8 eager
+    # dispatches — each a tunnel round trip on the real chip)
+    if "_eval_fk_center" not in pipeline.extras:
+        def _fk_center(local_aa, root_pos, gt_jrot, gt_jpos, rest):
+            b, t_pred = root_pos.shape[:2]
+            gq, gp = fk_mod.fk_smpl(
+                root_pos.reshape(-1, 3), local_aa.reshape(-1, 22, 3), rest
+            )
+            pred_jrot = gq.reshape(b, t_pred, 22, 4)
+            pred_jpos = gp.reshape(b, t_pred, 22, 3)
+            t = min(t_pred, gt_jpos.shape[1])
+            xy = jnp.asarray([1.0, 1.0, 0.0])
+            gt_move = gt_jpos[:, 0:1, HEAD_IDX:HEAD_IDX + 1, :] * xy
+            pred_move = pred_jpos[:, 0:1, HEAD_IDX:HEAD_IDX + 1, :] * xy
+            return (pred_jrot[:, :t], pred_jpos[:, :t] - pred_move,
+                    gt_jrot[:, :t], gt_jpos[:, :t] - gt_move)
+
+        pipeline.extras["_eval_fk_center"] = jax.jit(_fk_center)
+    pred_jrot, pred_jpos_c, gt_jrot_t, gt_jpos_c = pipeline.extras["_eval_fk_center"](
+        local_aa, root_pos, gt_global_jrot, gt_global_jpos, pipeline.rest_offsets
+    )
 
     n = hp.shape[0]
     pred_np = np.asarray(pred_jpos_c)  # one transfer, then host-side slicing
@@ -269,15 +283,39 @@ def evaluate_batch(
         for s in range(n)
     ], dtype=jnp.float32)
 
-    md = metrics_mod.batched_metrics_for_smpl(
-        gt_global_jrot[:, :t], gt_jpos_c, jnp.zeros((n,), jnp.float32),
-        pred_jrot[:, :t], pred_jpos_c, pred_floors,
-    )
-    # ONE device->host transfer per metric key (a per-sequence np.asarray
-    # costs a full tunnel round trip each — n x n_keys of them dominated the
-    # whole pipeline on the real chip; BASELINE.md round-3 e2e bench)
-    md_np = {k: np.asarray(v) for k, v in md.items()}
-    return [{k: v[s] for k, v in md_np.items()} for s in range(n)]
+    # The whole metric suite as ONE jitted program returning ONE flattened
+    # (N, K) array: unjitted, the vmapped suite dispatched every op eagerly
+    # and the per-key np.asarray cost ~36 blocking tunnel round trips —
+    # together they dominated evaluate_batch on the real chip (BASELINE.md
+    # round-3 e2e bench).  The key/width spec is captured at trace time.
+    if "_eval_metrics_flat" not in pipeline.extras:
+        spec: list = []
+
+        def _metrics_flat(gt_jrot, gt_jpos_c, pred_jrot, pred_jpos_c, floors):
+            md = metrics_mod.batched_metrics_for_smpl(
+                gt_jrot, gt_jpos_c, jnp.zeros_like(floors),
+                pred_jrot, pred_jpos_c, floors,
+            )
+            spec.clear()
+            cols = []
+            for k in sorted(md):
+                v = md[k].reshape(md[k].shape[0], -1)
+                spec.append((k, v.shape[1]))
+                cols.append(v)
+            return jnp.concatenate(cols, axis=1)
+
+        pipeline.extras["_eval_metrics_flat"] = (jax.jit(_metrics_flat), spec)
+    metrics_fn, spec = pipeline.extras["_eval_metrics_flat"]
+    flat = np.asarray(metrics_fn(gt_jrot_t, gt_jpos_c, pred_jrot, pred_jpos_c,
+                                 pred_floors))  # ONE device->host transfer
+    out = []
+    for s in range(n):
+        d, o = {}, 0
+        for k, w in spec:
+            d[k] = flat[s, o] if w == 1 else flat[s, o : o + w]
+            o += w
+        out.append(d)
+    return out
 
 
 def gt_from_smpl_params(pipeline: EgoEgoPipeline, trans, root_orient, body_pose):
@@ -302,23 +340,39 @@ def gt_from_smpl_params_batched(pipeline: EgoEgoPipeline, trans, root_orient,
     calls cost a tunnel round trip each on the real chip)."""
     trans = jnp.asarray(trans)
     n, t = trans.shape[:2]
-    local_aa = jnp.concatenate(
-        [jnp.asarray(root_orient)[:, :, None, :],
-         jnp.asarray(body_pose).reshape(n, t, 21, 3)], axis=2,
-    )
-    gq, gp = fk_mod.fk_smpl(
-        trans.reshape(n * t, 3), local_aa.reshape(n * t, 22, 3),
+    # one jitted FK program + one jitted snap program (eager, the FK scan +
+    # reshapes dispatched per-op through the tunnel)
+    if "_gt_fk" not in pipeline.extras:
+        def _gt_fk(trans, root_orient, body_pose, rest):
+            n, t = trans.shape[:2]
+            local_aa = jnp.concatenate(
+                [root_orient[:, :, None, :], body_pose.reshape(n, t, 21, 3)],
+                axis=2,
+            )
+            gq, gp = fk_mod.fk_smpl(
+                trans.reshape(n * t, 3), local_aa.reshape(n * t, 22, 3), rest
+            )
+            return gq.reshape(n, t, 22, 4), gp.reshape(n, t, 22, 3)
+
+        def _gt_snap(gq, gp, floors):
+            gp = gp - floors[:, None, None, None] * jnp.asarray([0.0, 0.0, 1.0])
+            head_pose = jnp.concatenate(
+                [gp[:, :, HEAD_IDX], gq[:, :, HEAD_IDX]], axis=-1
+            )
+            return gp, head_pose
+
+        pipeline.extras["_gt_fk"] = jax.jit(_gt_fk)
+        pipeline.extras["_gt_snap"] = jax.jit(_gt_snap)
+    gq, gp = pipeline.extras["_gt_fk"](
+        trans, jnp.asarray(root_orient), jnp.asarray(body_pose),
         pipeline.rest_offsets,
     )
-    gq = gq.reshape(n, t, 22, 4)
-    gp = gp.reshape(n, t, 22, 3)
     gp_np = np.asarray(gp)
     floors = jnp.asarray(
         [geometry.determine_floor_height_and_contacts(gp_np[s], fps=30)[0]
          for s in range(n)], dtype=jnp.float32,
     )
-    gp = gp - floors[:, None, None, None] * jnp.asarray([0.0, 0.0, 1.0])
-    head_pose = jnp.concatenate([gp[:, :, HEAD_IDX], gq[:, :, HEAD_IDX]], axis=-1)
+    gp, head_pose = pipeline.extras["_gt_snap"](gq, gp, floors)
     return gq, gp, head_pose
 
 
