@@ -91,6 +91,32 @@ def test_sharded_chain_matches_unsharded_dp_tp():
     np.testing.assert_allclose(root0, root1, atol=2e-3)
 
 
+def test_sharded_chain_fused_step_matches_unsharded():
+    """The fused denoise-STEP path (ops/fused_step.py pallas kernels,
+    interpret mode on CPU) under the dp mesh: the sharded canonical chain
+    must reproduce both its own unsharded run and the XLA chain."""
+    import dataclasses
+
+    from egoego_release_tpu.ops import rotations as rot
+
+    # axis-angle flips representation (+-axis) at angle ~ pi under any fp
+    # drift, so rotations are compared in matrix space
+    mats = lambda aa: np.asarray(rot.axis_angle_to_matrix(jnp.asarray(aa)))
+
+    cfg = dataclasses.replace(TINY, fused_step=True)
+    diff = CondGaussianDiffusion(cfg)
+    params = diff.init_params(jax.random.PRNGKey(0))
+    inputs = chain_inputs()
+    aa_x, root_x = run_chain(CondGaussianDiffusion(TINY), params, inputs)
+    aa0, root0 = run_chain(diff, params, inputs)
+    np.testing.assert_allclose(mats(aa0), mats(aa_x), atol=1e-4)
+    np.testing.assert_allclose(root0, root_x, atol=1e-4)
+    diff_dp = CondGaussianDiffusion(cfg)  # fresh _chain_jit cache
+    aa1, root1 = run_chain(diff_dp, params, inputs, mesh=make_mesh(dp=8, tp=1))
+    np.testing.assert_allclose(mats(aa0), mats(aa1), atol=2e-4)
+    np.testing.assert_allclose(root0, root1, atol=2e-4)
+
+
 def test_pipeline_shard_generates_sharded_and_pads():
     """EgoEgoPipeline.shard: batched stage-2 generation runs on the mesh and
     non-dp-divisible batches are padded then sliced back."""
