@@ -176,6 +176,18 @@ class AMASSWindowDataset:
             )
         return {"motion": motion, "seq_len": seq_len}
 
+    def materialize_windows(self) -> tuple[np.ndarray, np.ndarray]:
+        """Every window as one (N, window, 198) f32 array + seq_len (N,) —
+        the device-resident training path uploads these ONCE and gathers
+        batches on device (DiffusionTrainer.fit_device).  At release dims a
+        window is ~95 KB, so even full AMASS (~100k windows) is ~9.5 GB f32
+        / ~4.8 GB bf16 — within a v5e chip's 16 GB HBM."""
+        items = [self[i] for i in range(len(self))]
+        return (
+            np.stack([it["motion"] for it in items]),
+            np.asarray([it["seq_len"] for it in items], np.int32),
+        )
+
     def batch_iterator(self, batch_size: int, key, shuffle: bool = True):
         """Infinite batches as stacked numpy dicts (the reference cycles its
         DataLoader — trainer_amass_cond_motion_diffusion.py:26-29)."""

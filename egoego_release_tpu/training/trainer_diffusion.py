@@ -54,6 +54,9 @@ class DiffusionTrainer:
         self.optimizer = optax.adam(lr)
         self.mesh = mesh
         self._train_step = jax.jit(self._train_step_impl, donate_argnums=(0,))
+        self._train_step_device = jax.jit(
+            self._train_step_device_impl, donate_argnums=(0,), static_argnums=(4,)
+        )
 
     def init_state(self, key) -> TrainState:
         params = self.diffusion.init_params(key)
@@ -126,6 +129,51 @@ class DiffusionTrainer:
             loss,
         )
 
+    def _train_step_device_impl(self, state, data, seq_lens, key, batch_size):
+        """Device-resident data path: the whole window set lives in HBM and
+        the batch is GATHERED ON DEVICE inside the same jit as the step —
+        no per-step host batch assembly or host->device transfer.  Measured
+        on v5e: the host iterator path sustains ~520 window-grads/sec while
+        the pure step runs at ~4700-5900 (BASELINE.md round-3 training
+        section); this path closes that 10x gap.  Sampling is uniform with
+        replacement (the reference cycles a shuffled DataLoader — same
+        stationary distribution; documented deviation)."""
+        k_idx, k_step = jax.random.split(key)
+        idx = jax.random.randint(k_idx, (batch_size,), 0, data.shape[0])
+        motion = jnp.take(data, idx, axis=0).astype(jnp.float32)
+        seq_len = jnp.take(seq_lens, idx, axis=0)
+        return self._train_step_impl(state, motion, seq_len, k_step)
+
+    def fit_device(
+        self, state: TrainState, data, seq_lens, num_steps: int, batch_size: int,
+        key, log_every: int = 100, ckpt_dir: str | None = None,
+        save_every: int = 200_000, data_dtype=None,
+    ):
+        """fit() over a device-resident window set ((N, T, D) + (N,)).
+        `data_dtype=jnp.bfloat16` halves the HBM footprint (the step casts
+        back to f32); incompatible with a dp mesh (use the host iterator +
+        batch sharding there)."""
+        if self.mesh is not None:
+            raise ValueError("fit_device is single-chip; use fit() with a mesh")
+        data = jax.device_put(jnp.asarray(data, data_dtype or jnp.float32))
+        seq_lens = jax.device_put(jnp.asarray(seq_lens, jnp.int32))
+        losses = []
+        # host-side step counter: `int(state.step)` would force a device
+        # sync EVERY iteration, serializing the async dispatch pipeline
+        step0 = int(state.step)
+        for i in range(num_steps):
+            key, sk = jax.random.split(key)
+            state, loss = self._train_step_device(
+                state, data, seq_lens, sk, batch_size
+            )
+            step_i = step0 + i + 1
+            if (i + 1) % log_every == 0:
+                losses.append(float(loss))
+                print(f"step {step_i}: loss {losses[-1]:.5f}")
+            if ckpt_dir is not None and step_i % save_every == 0:
+                save_checkpoint(ckpt_dir, state)
+        return state, losses
+
     def train_step(self, state: TrainState, batch: dict, key) -> tuple[TrainState, float]:
         motion = jnp.asarray(batch["motion"])
         seq_len = jnp.asarray(batch["seq_len"])
@@ -138,13 +186,15 @@ class DiffusionTrainer:
     def fit(self, state: TrainState, batches, num_steps: int, key, log_every: int = 100,
             ckpt_dir: str | None = None, save_every: int = 200_000):
         losses = []
+        step0 = int(state.step)  # host counter; int(state.step) per iter = sync
         for i in range(num_steps):
             key, sk = jax.random.split(key)
             state, loss = self.train_step(state, next(batches), sk)
+            step_i = step0 + i + 1
             if (i + 1) % log_every == 0:
                 losses.append(float(loss))
-                print(f"step {int(state.step)}: loss {float(loss):.5f}")
-            if ckpt_dir is not None and int(state.step) % save_every == 0:
+                print(f"step {step_i}: loss {losses[-1]:.5f}")
+            if ckpt_dir is not None and step_i % save_every == 0:
                 save_checkpoint(ckpt_dir, state)
         return state, losses
 
