@@ -13,7 +13,6 @@ from __future__ import annotations
 import random
 
 import numpy as np
-import jax.numpy as jnp
 from scipy.spatial.transform import Rotation as sR
 
 from egoego_release_tpu.ops import rotations as rot
@@ -29,7 +28,7 @@ def augment_head_traj(head_pose: np.ndarray, rng: np.random.RandomState):
     (augment_traj, amass_headpose_dataset.py:73-79)."""
     trans = head_pose[:, :3]
     quat = head_pose[:, 3:]
-    rot_mat = np.asarray(rot.quat_to_matrix(jnp.asarray(quat)))
+    rot_mat = rot.quat_to_matrix_np(quat)
 
     random_rot = sR.random(random_state=rng).as_matrix().astype(np.float32)
     aug_rot_mat = np.einsum("ij,tjk->tik", random_rot, rot_mat)

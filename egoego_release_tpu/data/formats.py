@@ -54,7 +54,7 @@ def load_droidslam(path: str):
     data = np.load(path)
     trans = data[:, :3].astype(np.float32)
     quat = data[:, 3:].astype(np.float32)
-    mat = np.asarray(rot.quat_to_matrix(jnp.asarray(quat)))
+    mat = rot.quat_to_matrix_np(quat)
     return trans, mat, quat
 
 

@@ -89,6 +89,35 @@ def standardize_quat(q: Array) -> Array:
 # conversions
 # ---------------------------------------------------------------------------
 
+def quat_to_matrix_np(q):
+    """Numpy twin of quat_to_matrix for host-side data loaders.
+
+    Per-item dataset code must not touch JAX: through the TPU tunnel every
+    dispatch is a full round trip (~0.1-1 s), so a jnp call inside
+    __getitem__ dominates training step time (see CLAUDE.md).
+    """
+    import numpy as np
+
+    q = np.asarray(q, np.float32)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    two_s = 2.0 / np.sum(q * q, axis=-1)
+    m = np.stack(
+        [
+            1 - two_s * (y * y + z * z),
+            two_s * (x * y - z * w),
+            two_s * (x * z + y * w),
+            two_s * (x * y + z * w),
+            1 - two_s * (x * x + z * z),
+            two_s * (y * z - x * w),
+            two_s * (x * z - y * w),
+            two_s * (y * z + x * w),
+            1 - two_s * (x * x + y * y),
+        ],
+        axis=-1,
+    )
+    return m.reshape(q.shape[:-1] + (3, 3))
+
+
 def quat_to_matrix(q: Array) -> Array:
     """Unit quaternion (..., 4) -> rotation matrix (..., 3, 3)."""
     w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
