@@ -13,7 +13,6 @@ import os
 import random
 
 import numpy as np
-import jax.numpy as jnp
 
 from egoego_release_tpu.data import formats
 from egoego_release_tpu.ops import alignment
@@ -94,14 +93,13 @@ class HeadPoseSequenceDataset:
                     missing_slam += 1
                     continue
                 ori_trans, ori_mat, ori_quat = formats.load_droidslam(npy)
-                a_trans, a_mat, a_quat = alignment.align_slam_to_first_frame(
-                    jnp.asarray(ori_trans), jnp.asarray(ori_quat),
-                    jnp.asarray(rec["head_qpos"][0].astype(np.float32)),
+                a_trans, a_mat, a_quat = alignment.align_slam_to_first_frame_np(
+                    ori_trans, ori_quat, rec["head_qpos"][0].astype(np.float32),
                 )
                 rec = dict(rec)
-                rec["aligned_slam_trans"] = np.asarray(a_trans)
-                rec["aligned_slam_rot_mat"] = np.asarray(a_mat)
-                rec["aligned_slam_rot_quat"] = np.asarray(a_quat)
+                rec["aligned_slam_trans"] = a_trans
+                rec["aligned_slam_rot_mat"] = a_mat
+                rec["aligned_slam_rot_quat"] = a_quat
                 rec["ori_slam_trans"] = ori_trans
                 rec["ori_slam_rot_mat"] = ori_mat
                 rec["ori_slam_rot_quat"] = ori_quat

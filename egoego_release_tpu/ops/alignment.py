@@ -83,6 +83,32 @@ def align_slam_to_first_frame(slam_trans: Array, slam_quat: Array, gt_head_pose0
     return aligned_trans, aligned_mat, aligned_quat
 
 
+def align_slam_to_first_frame_np(slam_trans, slam_quat, gt_head_pose0):
+    """Numpy twin of align_slam_to_first_frame for dataset constructors.
+
+    The headpose loaders align every sequence at load time; doing that with
+    JAX ops costs one tunnel round trip per sequence (~0.1-1 s each through
+    axon — CLAUDE.md), so dataset load over N sequences was O(N) round
+    trips.  Same math, same quaternion conventions (Shepperd's pivot)."""
+    import numpy as np
+
+    slam_trans = np.asarray(slam_trans, np.float32)
+    gt_head_pose0 = np.asarray(gt_head_pose0, np.float32)
+    slam_rot_mat = rot.quat_to_matrix_np(slam_quat)
+    gt_rot0 = rot.quat_to_matrix_np(gt_head_pose0[3:])
+    pred2gt = gt_rot0 @ slam_rot_mat[0].T
+
+    aligned_mat = np.einsum("ij,tjk->tik", pred2gt, slam_rot_mat)
+    aligned_quat = rot.matrix_to_quat_np(aligned_mat)
+    aligned_trans = np.einsum("ij,tj->ti", pred2gt, slam_trans)
+    aligned_trans = aligned_trans + (gt_head_pose0[:3] - aligned_trans[0])
+    return (
+        aligned_trans.astype(np.float32),
+        aligned_mat.astype(np.float32),
+        aligned_quat.astype(np.float32),
+    )
+
+
 def rotation_matrix_from_two_vectors(vec1: Array, vec2: Array) -> Array:
     """Rotation matrix aligning vec1 to vec2 (Rodrigues form).
 

@@ -143,6 +143,43 @@ def _sqrt_positive_part(x: Array) -> Array:
     return jnp.sqrt(jnp.maximum(x, 0.0))
 
 
+def matrix_to_quat_np(m):
+    """Numpy twin of matrix_to_quat (same branchless Shepperd's method and
+    pivot/sign conventions) for host-side data loaders — per-item JAX calls
+    cost a tunnel round trip each (see quat_to_matrix_np)."""
+    import numpy as np
+
+    m = np.asarray(m, np.float32)
+    m00, m01, m02 = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    m10, m11, m12 = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    m20, m21, m22 = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+
+    sqrtp = lambda x: np.sqrt(np.maximum(x, 0.0))
+    q_abs = np.stack(
+        [
+            sqrtp(1.0 + m00 + m11 + m22),
+            sqrtp(1.0 + m00 - m11 - m22),
+            sqrtp(1.0 - m00 + m11 - m22),
+            sqrtp(1.0 - m00 - m11 + m22),
+        ],
+        axis=-1,
+    )
+    quat_by_w = np.stack([q_abs[..., 0] ** 2, m21 - m12, m02 - m20, m10 - m01], axis=-1)
+    quat_by_x = np.stack([m21 - m12, q_abs[..., 1] ** 2, m10 + m01, m02 + m20], axis=-1)
+    quat_by_y = np.stack([m02 - m20, m10 + m01, q_abs[..., 2] ** 2, m12 + m21], axis=-1)
+    quat_by_z = np.stack([m10 - m01, m20 + m02, m21 + m12, q_abs[..., 3] ** 2], axis=-1)
+    quat_candidates = np.stack([quat_by_w, quat_by_x, quat_by_y, quat_by_z], axis=-2)
+    quat_candidates = quat_candidates / (2.0 * np.maximum(q_abs, 0.1))[..., None]
+
+    best = np.argmax(q_abs, axis=-1)
+    out = np.take_along_axis(
+        quat_candidates, best[..., None, None].astype(np.int64), axis=-2
+    )[..., 0, :]
+    return out / np.maximum(
+        np.linalg.norm(out, axis=-1, keepdims=True), 1e-12
+    )
+
+
 def matrix_to_quat(m: Array) -> Array:
     """Rotation matrix (..., 3, 3) -> unit quaternion (..., 4), (w, x, y, z).
 

@@ -103,3 +103,39 @@ def test_rotate_at_frame_properties():
     )
     dot = np.abs(np.sum(rec_quat * q, axis=-1))
     np.testing.assert_allclose(dot, 1.0, atol=1e-4)
+
+
+def test_numpy_twins_match_jax_and_scipy():
+    """quat_to_matrix_np / matrix_to_quat_np / align_slam_to_first_frame_np
+    (the host-side data-loader twins) must match both scipy (independent
+    oracle) and the JAX originals bit-for-sign (loaders' outputs feed golden
+    tests that assume the JAX conventions)."""
+    rng = np.random.RandomState(11)
+    q = rng.randn(40, 4).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+
+    m_np = rot.quat_to_matrix_np(q)
+    m_scipy = sR.from_quat(q[:, [1, 2, 3, 0]]).as_matrix()  # scipy is xyzw
+    np.testing.assert_allclose(m_np, m_scipy, atol=1e-5)
+    np.testing.assert_allclose(m_np, np.asarray(rot.quat_to_matrix(jnp.asarray(q))),
+                               atol=1e-6)
+
+    q_back = rot.matrix_to_quat_np(m_np)
+    # same rotation as scipy (up to global sign)...
+    q_scipy = sR.from_matrix(m_np).as_quat()[:, [3, 0, 1, 2]]
+    sign = np.sign(np.sum(q_back * q_scipy, axis=-1, keepdims=True))
+    np.testing.assert_allclose(q_back, sign * q_scipy, atol=1e-5)
+    # ...and the EXACT same sign convention as the JAX Shepperd implementation
+    np.testing.assert_allclose(
+        q_back, np.asarray(rot.matrix_to_quat(jnp.asarray(m_np))), atol=1e-5
+    )
+
+    trans = rng.randn(40, 3).astype(np.float32)
+    gt0 = rng.randn(7).astype(np.float32)
+    gt0[3:] /= np.linalg.norm(gt0[3:])
+    a_np = alignment.align_slam_to_first_frame_np(trans, q, gt0)
+    a_jax = alignment.align_slam_to_first_frame(
+        jnp.asarray(trans), jnp.asarray(q), jnp.asarray(gt0)
+    )
+    for got, want in zip(a_np, a_jax):
+        np.testing.assert_allclose(got, np.asarray(want), atol=1e-5)
