@@ -168,5 +168,9 @@ def parse_opt(argv=None):
     return p.parse_args(argv)
 
 
+def main(argv=None):
+    run_sweep(parse_opt(argv))
+
+
 if __name__ == "__main__":
-    run_sweep(parse_opt())
+    main()

@@ -137,5 +137,9 @@ def parse_opt(argv=None):
     return p.parse_args(argv)
 
 
+def main(argv=None):
+    run(parse_opt(argv))
+
+
 if __name__ == "__main__":
-    run(parse_opt())
+    main()
