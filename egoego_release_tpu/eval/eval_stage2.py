@@ -89,29 +89,27 @@ def run(opt) -> dict:
             )
             record_result(seq_name, md)
     else:
-        # batched path: N single-window sequences share one diffusion chain
-        from egoego_release_tpu.eval.pipeline import evaluate_batch
-        import jax.numpy as jnp
+        # batched path: N single-window sequences share one diffusion chain,
+        # GT prep is ONE batched FK per chunk, and the chunks run through the
+        # software-pipelined driver (host floor clustering / metric
+        # unflattening overlap the neighbouring chunks' device-bound chains)
+        from egoego_release_tpu.eval.pipeline import run_batches_pipelined
 
-        for s in range(0, len(eligible), opt.batch_seqs):
-            chunk = eligible[s : s + opt.batch_seqs]
-            t = opt.window
-            gts = [
-                gt_from_smpl_params(
-                    pipeline, rec["trans"][:t], rec["root_orient"][:t],
-                    rec["body_pose"][:t],
-                )
-                for _, rec in chunk
-            ]
-            key, sk = jax.random.split(key)
-            mds = evaluate_batch(
-                pipeline,
-                np.stack([np.asarray(g[2]) for g in gts]),
-                jnp.stack([g[0] for g in gts]),
-                jnp.stack([g[1] for g in gts]),
-                sk,
-            )
-            for (seq_name, _), md in zip(chunk, mds):
+        t = opt.window
+        chunks = [eligible[s : s + opt.batch_seqs]
+                  for s in range(0, len(eligible), opt.batch_seqs)]
+        batches = [{
+            "gt_trans": np.stack([rec["trans"][:t] for _, rec in chunk]),
+            "gt_root_orient": np.stack(
+                [rec["root_orient"][:t] for _, rec in chunk]
+            ),
+            "gt_body_pose": np.stack(
+                [rec["body_pose"][:t] for _, rec in chunk]
+            ),
+        } for chunk in chunks]
+        key, sk = jax.random.split(key)
+        for chunk, b in zip(chunks, run_batches_pipelined(pipeline, batches, sk)):
+            for (seq_name, _), md in zip(chunk, b["metrics"]):
                 record_result(seq_name, md)
     n_eval = len(per_seq)
 

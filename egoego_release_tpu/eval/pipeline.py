@@ -236,21 +236,16 @@ def evaluate_sequence(
     }
 
 
-def evaluate_batch(
+def _eval_chain_dispatch(
     pipeline: EgoEgoPipeline,
     head_poses: np.ndarray,        # (N, T, 7) per-sequence conditions
     gt_global_jrot: jnp.ndarray,   # (N, T, 22, 4)
     gt_global_jpos: jnp.ndarray,   # (N, T, 22, 3)
     key,
 ):
-    """Batched multi-sequence eval: N sequences sampled in ONE diffusion
-    chain (batch dim over sequences) + vmapped metrics.  The reference
-    evaluates sequences one at a time (eval_stage2.py per-seq loop); on TPU
-    batching N single-window sequences costs the same 1000 steps once.
-
-    Floor estimation stays per-sequence host-side (scalar clustering).
-    Returns a list of N metric dicts.
-    """
+    """Dispatch the diffusion chain + FK/centering WITHOUT synchronizing.
+    Returns device arrays (pred_jrot, pred_jpos_c, gt_jrot_t, gt_jpos_c) so
+    a pipelined caller can overlap host work with the chain."""
     hp = jnp.asarray(head_poses)
     local_aa, root_pos = pipeline.stage2_generate_batched(hp, key)
 
@@ -272,11 +267,17 @@ def evaluate_batch(
                     gt_jrot[:, :t], gt_jpos[:, :t] - gt_move)
 
         pipeline.extras["_eval_fk_center"] = jax.jit(_fk_center)
-    pred_jrot, pred_jpos_c, gt_jrot_t, gt_jpos_c = pipeline.extras["_eval_fk_center"](
+    return pipeline.extras["_eval_fk_center"](
         local_aa, root_pos, gt_global_jrot, gt_global_jpos, pipeline.rest_offsets
     )
 
-    n = hp.shape[0]
+
+def _eval_metrics_dispatch(pipeline: EgoEgoPipeline, chain_out):
+    """Synchronize on the chain's predicted positions (one transfer), run the
+    per-sequence host-side floor clustering, and dispatch the flattened
+    metric suite WITHOUT fetching it."""
+    pred_jrot, pred_jpos_c, gt_jrot_t, gt_jpos_c = chain_out
+    n = pred_jpos_c.shape[0]
     pred_np = np.asarray(pred_jpos_c)  # one transfer, then host-side slicing
     pred_floors = jnp.asarray([
         geometry.determine_floor_height_and_contacts(pred_np[s], 30)[0]
@@ -305,17 +306,45 @@ def evaluate_batch(
             return jnp.concatenate(cols, axis=1)
 
         pipeline.extras["_eval_metrics_flat"] = (jax.jit(_metrics_flat), spec)
-    metrics_fn, spec = pipeline.extras["_eval_metrics_flat"]
-    flat = np.asarray(metrics_fn(gt_jrot_t, gt_jpos_c, pred_jrot, pred_jpos_c,
-                                 pred_floors))  # ONE device->host transfer
+    metrics_fn, _ = pipeline.extras["_eval_metrics_flat"]
+    return metrics_fn(gt_jrot_t, gt_jpos_c, pred_jrot, pred_jpos_c, pred_floors)
+
+
+def _eval_metrics_collect(pipeline: EgoEgoPipeline, flat_dev) -> list[dict]:
+    """Fetch the flattened metric array (ONE device->host transfer) and
+    unpack it into per-sequence metric dicts."""
+    _, spec = pipeline.extras["_eval_metrics_flat"]
+    flat = np.asarray(flat_dev)
     out = []
-    for s in range(n):
+    for s in range(flat.shape[0]):
         d, o = {}, 0
         for k, w in spec:
             d[k] = flat[s, o] if w == 1 else flat[s, o : o + w]
             o += w
         out.append(d)
     return out
+
+
+def evaluate_batch(
+    pipeline: EgoEgoPipeline,
+    head_poses: np.ndarray,        # (N, T, 7) per-sequence conditions
+    gt_global_jrot: jnp.ndarray,   # (N, T, 22, 4)
+    gt_global_jpos: jnp.ndarray,   # (N, T, 22, 3)
+    key,
+):
+    """Batched multi-sequence eval: N sequences sampled in ONE diffusion
+    chain (batch dim over sequences) + vmapped metrics.  The reference
+    evaluates sequences one at a time (eval_stage2.py per-seq loop); on TPU
+    batching N single-window sequences costs the same 1000 steps once.
+
+    Floor estimation stays per-sequence host-side (scalar clustering).
+    Returns a list of N metric dicts.
+    """
+    chain_out = _eval_chain_dispatch(
+        pipeline, head_poses, gt_global_jrot, gt_global_jpos, key
+    )
+    flat = _eval_metrics_dispatch(pipeline, chain_out)
+    return _eval_metrics_collect(pipeline, flat)
 
 
 def gt_from_smpl_params(pipeline: EgoEgoPipeline, trans, root_orient, body_pose):
@@ -332,41 +361,57 @@ def gt_from_smpl_params(pipeline: EgoEgoPipeline, trans, root_orient, body_pose)
     return gq, gp, head_pose
 
 
+def _ensure_gt_programs(pipeline: EgoEgoPipeline):
+    """Install the jitted _gt_fk/_gt_snap programs (eager, the FK scan +
+    reshapes dispatched per-op through the tunnel)."""
+    if "_gt_fk" in pipeline.extras:
+        return
+
+    def _gt_fk(trans, root_orient, body_pose, rest):
+        n, t = trans.shape[:2]
+        local_aa = jnp.concatenate(
+            [root_orient[:, :, None, :], body_pose.reshape(n, t, 21, 3)],
+            axis=2,
+        )
+        gq, gp = fk_mod.fk_smpl(
+            trans.reshape(n * t, 3), local_aa.reshape(n * t, 22, 3), rest
+        )
+        return gq.reshape(n, t, 22, 4), gp.reshape(n, t, 22, 3)
+
+    def _gt_snap(gq, gp, floors):
+        gp = gp - floors[:, None, None, None] * jnp.asarray([0.0, 0.0, 1.0])
+        head_pose = jnp.concatenate(
+            [gp[:, :, HEAD_IDX], gq[:, :, HEAD_IDX]], axis=-1
+        )
+        return gp, head_pose
+
+    pipeline.extras["_gt_fk"] = jax.jit(_gt_fk)
+    pipeline.extras["_gt_snap"] = jax.jit(_gt_snap)
+
+
 def gt_from_smpl_params_batched(pipeline: EgoEgoPipeline, trans, root_orient,
                                 body_pose):
     """Batched GT prep: (N, T, ...) params -> (jrot (N,T,22,4), jpos
     (N,T,22,3), head_pose (N,T,7)) with ONE FK dispatch and ONE device->host
     transfer for the per-sequence host-side floor clustering (per-sequence
     calls cost a tunnel round trip each on the real chip)."""
-    trans = jnp.asarray(trans)
-    n, t = trans.shape[:2]
-    # one jitted FK program + one jitted snap program (eager, the FK scan +
-    # reshapes dispatched per-op through the tunnel)
-    if "_gt_fk" not in pipeline.extras:
-        def _gt_fk(trans, root_orient, body_pose, rest):
-            n, t = trans.shape[:2]
-            local_aa = jnp.concatenate(
-                [root_orient[:, :, None, :], body_pose.reshape(n, t, 21, 3)],
-                axis=2,
-            )
-            gq, gp = fk_mod.fk_smpl(
-                trans.reshape(n * t, 3), local_aa.reshape(n * t, 22, 3), rest
-            )
-            return gq.reshape(n, t, 22, 4), gp.reshape(n, t, 22, 3)
+    gq, gp = _gt_fk_dispatch(pipeline, trans, root_orient, body_pose)
+    return _gt_snap_finalize(pipeline, gq, gp)
 
-        def _gt_snap(gq, gp, floors):
-            gp = gp - floors[:, None, None, None] * jnp.asarray([0.0, 0.0, 1.0])
-            head_pose = jnp.concatenate(
-                [gp[:, :, HEAD_IDX], gq[:, :, HEAD_IDX]], axis=-1
-            )
-            return gp, head_pose
 
-        pipeline.extras["_gt_fk"] = jax.jit(_gt_fk)
-        pipeline.extras["_gt_snap"] = jax.jit(_gt_snap)
-    gq, gp = pipeline.extras["_gt_fk"](
-        trans, jnp.asarray(root_orient), jnp.asarray(body_pose),
+def _gt_fk_dispatch(pipeline: EgoEgoPipeline, trans, root_orient, body_pose):
+    """Dispatch the batched GT FK without synchronizing (pipelined driver)."""
+    _ensure_gt_programs(pipeline)
+    return pipeline.extras["_gt_fk"](
+        jnp.asarray(trans), jnp.asarray(root_orient), jnp.asarray(body_pose),
         pipeline.rest_offsets,
     )
+
+
+def _gt_snap_finalize(pipeline: EgoEgoPipeline, gq, gp):
+    """Fetch GT positions (one transfer), per-sequence host floor clustering,
+    dispatch the snap program.  Returns (gq, gp_snapped, head_pose)."""
+    n = gp.shape[0]
     gp_np = np.asarray(gp)
     floors = jnp.asarray(
         [geometry.determine_floor_height_and_contacts(gp_np[s], fps=30)[0]
@@ -374,6 +419,97 @@ def gt_from_smpl_params_batched(pipeline: EgoEgoPipeline, trans, root_orient,
     )
     gp, head_pose = pipeline.extras["_gt_snap"](gq, gp, floors)
     return gq, gp, head_pose
+
+
+def run_batches_pipelined(pipeline: EgoEgoPipeline, batches: list[dict], key):
+    """Software-pipelined full-flow eval over multiple sequence batches.
+
+    Each batch dict: records (list of stage-1 eval records, or None to
+    condition on the GT head pose), gt_trans (N,T,3), gt_root_orient (N,T,3),
+    gt_body_pose (N,T,63).  Returns a list (per batch) of
+    {"metrics": [N per-sequence metric dicts], "s1": (e, o, t) arrays | None}.
+
+    Single-TPU schedule: everything the flow needs from the device for batch
+    k's PRE-chain work (stage-1 nets, GT FK) is dispatched BEFORE the host
+    blocks on batch k-1's chain, so the per-sequence host floor clustering,
+    metric unflattening, and stage-1 input stacking all overlap the ~seconds
+    of device-bound diffusion.  The device queue is FIFO, so dispatch order
+    is the schedule: [chain k-1][gt_fk k][stage1 k][metrics k-1][chain k]...
+    Numerically identical to the sequential gt_from_smpl_params_batched +
+    stage1_head_pose_batched + evaluate_batch composition (same programs,
+    same keys); only the host/device interleaving changes."""
+    n_b = len(batches)
+    keys = jax.random.split(key, n_b)
+    if "_s1_metrics_batched" not in pipeline.extras:
+        pipeline.extras["_s1_metrics_batched"] = jax.jit(jax.vmap(
+            lambda pt, pq, gtt, gtq: metrics_mod.compute_head_pose_metrics(
+                pt, rot.quat_to_matrix(pq), gtt, rot.quat_to_matrix(gtq)
+            )
+        ))
+
+    results: list = [None] * n_b
+    pending_chain = None   # (batch idx, chain device arrays, s1 device arrays)
+    pending_flat = None    # (batch idx, flat metric device array, s1 device arrays)
+
+    def _collect(slot):
+        j, flat, s1m = slot
+        results[j] = {
+            "metrics": _eval_metrics_collect(pipeline, flat),
+            "s1": None if s1m is None else tuple(np.asarray(v) for v in s1m),
+        }
+
+    for k, batch in enumerate(batches):
+        records = batch.get("records")
+        t_gt = np.asarray(batch["gt_trans"]).shape[1]
+
+        # (1) dispatch this batch's small device programs; they queue behind
+        # batch k-1's chain, and their results are not touched until (3)
+        gq_raw, gp_raw = _gt_fk_dispatch(
+            pipeline, batch["gt_trans"], batch["gt_root_orient"],
+            batch["gt_body_pose"],
+        )
+        s1_out = (pipeline.stage1_head_pose_batched(records)
+                  if records is not None else None)
+
+        # (2) synchronize on batch k-1's chain (the big block), run its host
+        # floor clustering, and dispatch its metric suite
+        if pending_chain is not None:
+            j, chain_out, s1m = pending_chain
+            pending_flat = (j, _eval_metrics_dispatch(pipeline, chain_out), s1m)
+            pending_chain = None
+
+        # (3) finalize this batch's pre-chain work (its device ops completed
+        # right after the chain we just waited on)
+        gq, gp, gt_head = _gt_snap_finalize(pipeline, gq_raw, gp_raw)
+        if s1_out is not None:
+            hp = np.array(s1_out["head_pose"])[:, :t_gt]
+            gt_head_np = np.asarray(gt_head)
+            pred, gt = hp.copy(), gt_head_np.copy()
+            pred[:, :, :2] -= pred[:, 0:1, :2]
+            gt[:, :, :2] -= gt[:, 0:1, :2]
+            s1m = pipeline.extras["_s1_metrics_batched"](
+                jnp.asarray(pred[:, :, :3]), jnp.asarray(pred[:, :, 3:]),
+                jnp.asarray(gt[:, :, :3]), jnp.asarray(gt[:, :, 3:]),
+            )
+            # floor-align predicted heads to the GT start (eval_egoego:334)
+            hp[:, :, :3] += np.asarray(gp[:, 0:1, HEAD_IDX]) - hp[:, 0:1, :3]
+        else:
+            hp, s1m = np.asarray(gt_head), None
+
+        # (4) dispatch this batch's chain
+        chain_out = _eval_chain_dispatch(pipeline, hp, gq, gp, keys[k])
+
+        # (5) batch k-1's metric array was dispatched BEFORE this chain, so
+        # collecting it does not wait on the chain
+        if pending_flat is not None:
+            _collect(pending_flat)
+            pending_flat = None
+        pending_chain = (k, chain_out, s1m)
+
+    # drain the tail
+    j, chain_out, s1m = pending_chain
+    _collect((j, _eval_metrics_dispatch(pipeline, chain_out), s1m))
+    return results
 
 
 def stage1_metrics(head_pose_pred: np.ndarray, head_pose_gt: np.ndarray):

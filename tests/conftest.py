@@ -45,6 +45,7 @@ SLOW_TESTS = {
     "test_trpo_update_respects_kl_and_improves",
     "test_fused_denoiser_apply_matches_flax",
     "test_evaluate_sequence_and_batch_consistency",
+    "test_run_batches_pipelined_matches_sequential",
     "test_env_reward_ranks_expert_above_perturbed",
     "test_pwcnet_forward_matches_reference",
     "test_eval_trajar_physics_metrics_cli",

@@ -200,3 +200,97 @@ def test_headformer_with_cnn_path():
     (va, dist), _ = model.apply(params, flow, mask, mutable=["batch_stats"])
     assert va.shape == (1, 4, 3) and dist.shape == (1, 4, 1)
     assert np.isfinite(np.asarray(va)).all()
+
+
+def test_run_batches_pipelined_matches_sequential():
+    """The software-pipelined multi-batch driver must be numerically
+    IDENTICAL to the sequential gt-prep + stage-1 + evaluate_batch
+    composition (same jitted programs, same per-batch keys — only the
+    host/device interleave differs)."""
+    from egoego_release_tpu.models.gravitynet import HeadNormalFormer
+    from egoego_release_tpu.models.headnet import HeadFormer
+    from egoego_release_tpu.eval.pipeline import (
+        gt_from_smpl_params_batched,
+        run_batches_pipelined,
+    )
+
+    pipe = make_pipeline()
+    t = 16
+    headnet = HeadFormer(d_model=32, n_layers=1, n_head=2, d_k=16, d_v=16,
+                         window=8)
+    gravitynet = HeadNormalFormer(d_model=32, n_layers=1, n_head=2, d_k=16,
+                                  d_v=16, window=t)
+    pipe.headnet = headnet
+    pipe.headnet_params = headnet.init(
+        jax.random.PRNGKey(1), jnp.zeros((1, 8, 512)), jnp.ones((1, 8))
+    )
+    pipe.gravitynet = gravitynet
+    pipe.gravitynet_params = gravitynet.init(
+        jax.random.PRNGKey(2), jnp.zeros((1, t, 18)), jnp.ones((1, t))
+    )
+
+    rng = np.random.RandomState(5)
+
+    def make_batch(n):
+        records = []
+        for _ in range(n):
+            q = rng.randn(t, 4).astype(np.float32)
+            q /= np.linalg.norm(q, axis=-1, keepdims=True)
+            records.append({
+                "of": rng.randn(t, 512).astype(np.float32),
+                "head_pose": np.concatenate(
+                    [rng.randn(t, 3).astype(np.float32), q], axis=-1
+                ),
+                "aligned_slam_trans": np.cumsum(
+                    rng.randn(t, 3).astype(np.float32) * 0.02, 0
+                ),
+                "ori_slam_trans": np.cumsum(
+                    rng.randn(t, 3).astype(np.float32) * 0.02, 0
+                ),
+                "ori_slam_rot_mat": np.stack(
+                    [np.eye(3, dtype=np.float32)] * t
+                ),
+            })
+        return {
+            "records": records,
+            "gt_trans": np.cumsum(rng.randn(n, t, 3).astype(np.float32) * 0.02, 1),
+            "gt_root_orient": (rng.randn(n, t, 3) * 0.2).astype(np.float32),
+            "gt_body_pose": (rng.randn(n, t, 63) * 0.2).astype(np.float32),
+        }
+
+    batches = [make_batch(3), make_batch(3)]
+    key = jax.random.PRNGKey(9)
+    got = run_batches_pipelined(pipe, batches, key)
+
+    keys = jax.random.split(key, len(batches))
+    for k, batch in enumerate(batches):
+        gq, gp, gt_head = gt_from_smpl_params_batched(
+            pipe, batch["gt_trans"], batch["gt_root_orient"],
+            batch["gt_body_pose"],
+        )
+        s1 = pipe.stage1_head_pose_batched(batch["records"])
+        hp = np.array(s1["head_pose"])[:, :t]
+        hp[:, :, :3] += np.asarray(gp[:, 0:1, 15]) - hp[:, 0:1, :3]
+        want = evaluate_batch(pipe, hp, gq, gp, keys[k])
+        assert len(got[k]["metrics"]) == len(want)
+        for g, w in zip(got[k]["metrics"], want):
+            assert set(g) == set(w)
+            for name in w:
+                np.testing.assert_array_equal(g[name], w[name])
+        s1m = got[k]["s1"]
+        assert s1m is not None and all(np.isfinite(v).all() for v in s1m)
+
+    # GT-head mode (records=None): conditions on the GT head pose
+    gt_batches = [{k2: v for k2, v in b.items() if k2 != "records"}
+                  for b in batches]
+    got_gt = run_batches_pipelined(pipe, gt_batches, key)
+    for k, batch in enumerate(gt_batches):
+        gq, gp, gt_head = gt_from_smpl_params_batched(
+            pipe, batch["gt_trans"], batch["gt_root_orient"],
+            batch["gt_body_pose"],
+        )
+        want = evaluate_batch(pipe, np.asarray(gt_head), gq, gp, keys[k])
+        for g, w in zip(got_gt[k]["metrics"], want):
+            for name in w:
+                np.testing.assert_array_equal(g[name], w[name])
+        assert got_gt[k]["s1"] is None

@@ -174,16 +174,37 @@ def main():
 
     seqs_per_sec = n_seqs * n_runs / dt
     assert all(np.isfinite(m["mpjpe"]) for m in mds)
+
+    # Software-pipelined steady state (run_batches_pipelined): host work —
+    # record stacking, per-sequence floor clustering, metric unflattening —
+    # overlaps the device-bound diffusion chain of the neighbouring batches.
+    # Numerically identical to the sequential flow (equivalence test in
+    # tests/test_eval_pipeline.py); this is the deployment-shaped number.
+    from egoego_release_tpu.eval.pipeline import run_batches_pipelined
+
+    batch_spec = {"records": records, "gt_trans": trans_b,
+                  "gt_root_orient": root_b, "gt_body_pose": body_b}
+    n_overlap = int(os.environ.get("PIPE_OVERLAP_RUNS", str(max(n_runs, 3))))
+    run_batches_pipelined(pipeline, [batch_spec], jax.random.PRNGKey(0))  # warm
+    t0 = time.perf_counter()
+    res = run_batches_pipelined(
+        pipeline, [batch_spec] * n_overlap, jax.random.PRNGKey(10)
+    )
+    dt_overlap = time.perf_counter() - t0
+    overlap_seqs_per_sec = n_seqs * n_overlap / dt_overlap
+    assert all(np.isfinite(m["mpjpe"]) for b in res for m in b["metrics"])
+
     steps = int(os.environ.get("PIPE_TIMESTEPS", "1000"))
     sampler_tag = f"DDIM-{ddim}" if ddim else f"DDPM-{steps}"
     print(json.dumps({
         "metric": "end-to-end pipeline sequences/sec/chip "
                   f"(stage1+stage2({sampler_tag})"
-                  "+FK+floor+metrics, T=%d)" % t,
-        "value": round(seqs_per_sec, 4),
+                  "+FK+floor+metrics, T=%d, pipelined)" % t,
+        "value": round(overlap_seqs_per_sec, 4),
         "unit": "seqs/sec",
         "n_seqs": n_seqs,
-        "breakdown_sec_per_run": {
+        "sequential_seqs_per_sec": round(seqs_per_sec, 4),
+        "breakdown_sec_per_run_sequential": {
             k: round(v / n_runs, 4) for k, v in totals.items()
         },
     }))
