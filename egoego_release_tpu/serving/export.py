@@ -1,0 +1,174 @@
+"""AOT export of the inference programs as serialized StableHLO artifacts.
+
+TPU-native serving path with no reference counterpart (the reference deploys
+by shipping the torch checkpoint + source and re-tracing at import time —
+run_egoego.py): `jax.export` serializes the jitted program — weights,
+normalization stats, and rest offsets baked in as constants — so a serving
+host loads ONE artifact and calls it without Python model code, checkpoint
+loading, or re-tracing.  Artifacts can be lowered for platforms the
+exporting host does not have (e.g. export for TPU from a CPU build machine:
+``platforms=("tpu",)``), and carry jax.export's forward-compatibility
+guarantees for the embedded custom calls.
+
+Shapes are static (XLA semantics): one artifact per (batch_size, n_frames)
+serving configuration; export several and route by shape at serve time.
+
+Artifact layout on disk: raw `Exported.serialize()` bytes; `save_artifact` /
+`load_artifact` add nothing on top, so any jax >= the export version can
+`jax.export.deserialize` the file directly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+DEFAULT_PLATFORMS = ("tpu", "cpu")
+
+
+def _spec(shape, dtype=jnp.float32):
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
+def export_chain(
+    pipeline,
+    batch_size: int,
+    n_frames: int,
+    platforms: tuple[str, ...] = DEFAULT_PLATFORMS,
+):
+    """Export the canonical sliding-window diffusion chain (the flagship
+    inference unit — p_sample_loop_sliding_window_w_canonical,
+    transformer_cond_diffusion_model.py:392-397) as one serialized program.
+
+    Signature of the exported callable:
+        (key  : uint32[2]  — a threefry jax.random key's raw data
+                (jax.random.key_data(key)),
+         head_jpos : f32[batch, n_frames, 3],
+         head_jquat: f32[batch, n_frames, 4])
+        -> (local_aa f32[batch, T', 22, 3], root_pos f32[batch, T', 3])
+
+    Diffusion params, NormStats, and rest offsets are baked in as
+    constants.  Returns the `jax.export.Exported` object; call
+    `.serialize()` / `save_artifact` to persist.
+    """
+    diffusion = pipeline.diffusion
+    params = pipeline.diffusion_params
+    stats = pipeline.stats
+    rest = pipeline.rest_offsets
+
+    def serve_fn(key_data, head_jpos, head_jquat):
+        key = jax.random.wrap_key_data(key_data, impl="threefry2x32")
+        return diffusion.sample_sliding_window_w_canonical_jit(
+            params, key, head_jpos, head_jquat, stats, rest
+        )
+
+    return jax_export.export(jax.jit(serve_fn), platforms=list(platforms))(
+        _spec((2,), jnp.uint32),
+        _spec((batch_size, n_frames, 3)),
+        _spec((batch_size, n_frames, 4)),
+    )
+
+
+def export_stage1(
+    pipeline,
+    batch_size: int,
+    n_frames: int,
+    of_dim: int = 512,
+    platforms: tuple[str, ...] = DEFAULT_PLATFORMS,
+):
+    """Export the batched stage-1 program (HeadNet blockwise eval + va2rot +
+    SLAM rescale + GravityNet floor-normal transform — eval_egoego.py:244-295)
+    with both stage-1 nets' params baked in.
+
+    Signature (all f32, leading dim = batch):
+        (of [B,T-1,of_dim], init_quat [B,4], aligned_slam_trans [B,T,3],
+         ori_trans [B,T,3], ori_mat [B,T,3,3], gt_head_pose [B,T,7])
+        -> (head_pose [B,T,7], pred_scale [B], pred_normal [B,3])
+    """
+    fn = pipeline._stage1_fn(batched=True)
+
+    def serve_fn(of, init_quat, aligned_slam_trans, ori_trans, ori_mat,
+                 gt_head_pose):
+        return fn(pipeline.headnet_params, pipeline.gravitynet_params,
+                  of, init_quat, aligned_slam_trans, ori_trans, ori_mat,
+                  gt_head_pose)
+
+    b, t = batch_size, n_frames
+    return jax_export.export(jax.jit(serve_fn), platforms=list(platforms))(
+        _spec((b, t - 1, of_dim)),
+        _spec((b, 4)),
+        _spec((b, t, 3)),
+        _spec((b, t, 3)),
+        _spec((b, t, 3, 3)),
+        _spec((b, t, 7)),
+    )
+
+
+def save_artifact(exported, path: str) -> None:
+    with open(path, "wb") as f:
+        f.write(exported.serialize())
+
+
+def load_artifact(path: str):
+    """Deserialize an artifact; returns the `Exported` — invoke via `.call`."""
+    with open(path, "rb") as f:
+        return jax_export.deserialize(f.read())
+
+
+def main(argv=None):
+    """CLI: export serving artifacts from converted (or torch) checkpoints.
+
+    egoego-export chain --stats_path ... --rest_offsets ... \
+        --diffusion_ckpt ... --batch_size 64 --n_frames 140 \
+        --platforms tpu,cpu --out chain_b64_t140.stablehlo
+    """
+    import argparse
+
+    from egoego_release_tpu.eval.build import build_pipeline
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("which", choices=["chain", "stage1"])
+    p.add_argument("--stats_path", required=True)
+    p.add_argument("--rest_offsets", required=True)
+    p.add_argument("--diffusion_ckpt", default=None)
+    p.add_argument("--headnet_ckpt", default=None)
+    p.add_argument("--gravitynet_ckpt", default=None)
+    p.add_argument("--batch_size", type=int, default=64)
+    p.add_argument("--n_frames", type=int, default=140)
+    p.add_argument("--window", type=int, default=120)
+    p.add_argument("--timesteps", type=int, default=1000)
+    p.add_argument("--ddim_steps", type=int, default=0)
+    p.add_argument("--platforms", default="tpu,cpu",
+                   help="comma-separated lowering targets")
+    p.add_argument("--out", required=True)
+    args = p.parse_args(argv)
+
+    pipeline = build_pipeline(
+        stats_path=args.stats_path,
+        rest_offsets_path=args.rest_offsets,
+        diffusion_ckpt=args.diffusion_ckpt,
+        headnet_ckpt=args.headnet_ckpt,
+        gravitynet_ckpt=args.gravitynet_ckpt,
+        window=args.window,
+        timesteps=args.timesteps,
+        sampler="ddim" if args.ddim_steps else "ddpm",
+        ddim_steps=args.ddim_steps or 50,
+    )
+    platforms = tuple(args.platforms.split(","))
+    if args.which == "chain":
+        exp = export_chain(pipeline, args.batch_size, args.n_frames,
+                           platforms=platforms)
+    else:
+        exp = export_stage1(pipeline, args.batch_size, args.n_frames,
+                            platforms=platforms)
+    save_artifact(exp, args.out)
+    import os
+
+    print(f"exported {args.which} (b={args.batch_size}, t={args.n_frames}, "
+          f"platforms={platforms}) -> {args.out} "
+          f"({os.path.getsize(args.out)} bytes)")
+
+
+if __name__ == "__main__":
+    main()

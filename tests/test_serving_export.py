@@ -1,0 +1,120 @@
+"""AOT serving-export roundtrip: serialized StableHLO artifacts must
+reproduce the live programs to float32 precision and lower for TPU from
+this CPU host (cross-platform export)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from egoego_release_tpu.diffusion.gaussian_diffusion import (
+    CondGaussianDiffusion,
+    DiffusionConfig,
+    NormStats,
+)
+from egoego_release_tpu.eval.pipeline import EgoEgoPipeline
+from egoego_release_tpu.serving import (
+    export_chain,
+    export_stage1,
+    load_artifact,
+    save_artifact,
+)
+
+CFG = DiffusionConfig(
+    d_feats=198, d_model=32, n_head=2, n_dec_layers=2, d_k=16, d_v=16,
+    window=12, timesteps=8, overlap_frames=4,
+)
+
+
+def make_pipeline(seed=0, with_stage1=False):
+    diff = CondGaussianDiffusion(CFG)
+    params = diff.init_params(jax.random.PRNGKey(seed))
+    rng = np.random.RandomState(seed)
+    rest = jnp.asarray(rng.randn(22, 3).astype(np.float32) * 0.1).at[0].set(0.0)
+    stats = NormStats(jnp.full((22, 3), -3.0), jnp.full((22, 3), 3.0))
+    pipe = EgoEgoPipeline(
+        diffusion=diff, diffusion_params=params, stats=stats, rest_offsets=rest
+    )
+    if with_stage1:
+        from egoego_release_tpu.models.gravitynet import HeadNormalFormer
+        from egoego_release_tpu.models.headnet import HeadFormer
+
+        t = 16
+        pipe.headnet = HeadFormer(d_model=32, n_layers=1, n_head=2, d_k=16,
+                                  d_v=16, window=8)
+        pipe.headnet_params = pipe.headnet.init(
+            jax.random.PRNGKey(1), jnp.zeros((1, 8, 512)), jnp.ones((1, 8))
+        )
+        pipe.gravitynet = HeadNormalFormer(d_model=32, n_layers=1, n_head=2,
+                                           d_k=16, d_v=16, window=t)
+        pipe.gravitynet_params = pipe.gravitynet.init(
+            jax.random.PRNGKey(2), jnp.zeros((1, t, 18)), jnp.ones((1, t))
+        )
+    return pipe
+
+
+def test_chain_export_roundtrip_matches_live(tmp_path):
+    pipe = make_pipeline()
+    b, t = 2, 16
+    exp = export_chain(pipe, b, t, platforms=("cpu",))
+    path = str(tmp_path / "chain.stablehlo")
+    save_artifact(exp, path)
+    loaded = load_artifact(path)
+
+    rng = np.random.RandomState(3)
+    jpos = np.cumsum(rng.randn(b, t, 3).astype(np.float32) * 0.02, 1)
+    q = rng.randn(b, t, 4).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    key = jax.random.PRNGKey(7)
+
+    aa_live, root_live = pipe.diffusion.sample_sliding_window_w_canonical_jit(
+        pipe.diffusion_params, key, jnp.asarray(jpos), jnp.asarray(q),
+        pipe.stats, pipe.rest_offsets,
+    )
+    aa_art, root_art = loaded.call(
+        jax.random.key_data(key), jnp.asarray(jpos), jnp.asarray(q)
+    )
+    # deserialized modules recompile; XLA may re-fuse, so bit-identity is
+    # not guaranteed — float32-precision agreement is
+    np.testing.assert_allclose(np.asarray(aa_live), np.asarray(aa_art),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(root_live), np.asarray(root_art),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_stage1_export_roundtrip_matches_live(tmp_path):
+    pipe = make_pipeline(with_stage1=True)
+    b, t = 3, 16
+    exp = export_stage1(pipe, b, t, platforms=("cpu",))
+    path = str(tmp_path / "s1.stablehlo")
+    save_artifact(exp, path)
+    loaded = load_artifact(path)
+
+    rng = np.random.RandomState(4)
+    q0 = rng.randn(b, 4).astype(np.float32)
+    q0 /= np.linalg.norm(q0, axis=-1, keepdims=True)
+    args = (
+        rng.randn(b, t - 1, 512).astype(np.float32),
+        q0,
+        np.cumsum(rng.randn(b, t, 3).astype(np.float32) * 0.02, 1),
+        np.cumsum(rng.randn(b, t, 3).astype(np.float32) * 0.02, 1),
+        np.stack([np.stack([np.eye(3, dtype=np.float32)] * t)] * b),
+        rng.randn(b, t, 7).astype(np.float32),
+    )
+    jargs = tuple(jnp.asarray(a) for a in args)
+    live = pipe._stage1_fn(batched=True)(
+        pipe.headnet_params, pipe.gravitynet_params, *jargs
+    )
+    art = loaded.call(*jargs)
+    for lv, av in zip(live, art):
+        np.testing.assert_allclose(np.asarray(lv), np.asarray(av),
+                                   atol=2e-5, rtol=2e-5)
+
+
+def test_chain_exports_for_tpu_from_cpu_host():
+    """Cross-platform lowering: a CPU build host can emit the TPU serving
+    artifact (deploy-time compile only, no chip needed to export)."""
+    pipe = make_pipeline()
+    exp = export_chain(pipe, 2, 16, platforms=("tpu", "cpu"))
+    blob = exp.serialize()
+    assert len(blob) > 1000
+    assert "tpu" in [p.lower() for p in exp.platforms]
