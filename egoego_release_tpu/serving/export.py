@@ -105,6 +105,27 @@ def export_stage1(
     )
 
 
+def export_fk(
+    pipeline,
+    batch_size: int,
+    n_frames: int,
+    platforms: tuple[str, ...] = DEFAULT_PLATFORMS,
+):
+    """Export the SMPL FK decode (chain output -> global joint rotations +
+    positions; ops/fk.py::fk_smpl) with the rest offsets baked in.
+
+    Signature: (root_pos f32[B,T,3], local_aa f32[B,T,22,3])
+        -> (jrot f32[B,T,22,4], jpos f32[B,T,22,3])
+    """
+    def serve_fn(root_pos, local_aa):
+        return pipeline.fk(root_pos, local_aa)
+
+    return jax_export.export(jax.jit(serve_fn), platforms=list(platforms))(
+        _spec((batch_size, n_frames, 3)),
+        _spec((batch_size, n_frames, 22, 3)),
+    )
+
+
 def save_artifact(exported, path: str) -> None:
     with open(path, "wb") as f:
         f.write(exported.serialize())
@@ -128,7 +149,7 @@ def main(argv=None):
     from egoego_release_tpu.eval.build import build_pipeline
 
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("which", choices=["chain", "stage1"])
+    p.add_argument("which", choices=["chain", "stage1", "fk"])
     p.add_argument("--stats_path", required=True)
     p.add_argument("--rest_offsets", required=True)
     p.add_argument("--diffusion_ckpt", default=None)
@@ -159,9 +180,12 @@ def main(argv=None):
     if args.which == "chain":
         exp = export_chain(pipeline, args.batch_size, args.n_frames,
                            platforms=platforms)
-    else:
+    elif args.which == "stage1":
         exp = export_stage1(pipeline, args.batch_size, args.n_frames,
                             platforms=platforms)
+    else:
+        exp = export_fk(pipeline, args.batch_size, args.n_frames,
+                        platforms=platforms)
     save_artifact(exp, args.out)
     import os
 

@@ -118,3 +118,24 @@ def test_chain_exports_for_tpu_from_cpu_host():
     blob = exp.serialize()
     assert len(blob) > 1000
     assert "tpu" in [p.lower() for p in exp.platforms]
+
+
+def test_fk_export_roundtrip_matches_live(tmp_path):
+    from egoego_release_tpu.serving import export_fk
+
+    pipe = make_pipeline()
+    b, t = 2, 10
+    exp = export_fk(pipe, b, t, platforms=("cpu",))
+    path = str(tmp_path / "fk.stablehlo")
+    save_artifact(exp, path)
+    loaded = load_artifact(path)
+
+    rng = np.random.RandomState(6)
+    root = rng.randn(b, t, 3).astype(np.float32)
+    aa = (rng.randn(b, t, 22, 3) * 0.3).astype(np.float32)
+    jr_live, jp_live = pipe.fk(jnp.asarray(root), jnp.asarray(aa))
+    jr_art, jp_art = loaded.call(jnp.asarray(root), jnp.asarray(aa))
+    np.testing.assert_allclose(np.asarray(jr_live), np.asarray(jr_art),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(jp_live), np.asarray(jp_art),
+                               atol=2e-5, rtol=2e-5)
