@@ -16,6 +16,18 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 
+# Persistent compilation cache: the suite's cost on this 1-core host is jit
+# compiles, not data (CLAUDE.md); caching them across runs/processes cuts
+# reruns dramatically AND reduces in-process compile volume (long
+# single-process full-suite runs have segfaulted inside XLA CPU compilation
+# — see the verify skill's known-flake note).
+_cache_dir = os.environ.get("EGOEGO_TEST_JAX_CACHE",
+                            "/tmp/egoego_jax_test_cache")
+if _cache_dir:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 assert jax.devices()[0].platform == "cpu"
 
 import pytest  # noqa: E402
