@@ -70,6 +70,47 @@ def export_chain(
     )
 
 
+def export_chain_sharded(
+    pipeline,
+    batch_size: int,
+    n_frames: int,
+    mesh,
+    platforms: tuple[str, ...] = ("tpu",),
+):
+    """Multi-chip serving artifact: the canonical chain exported with the
+    sequence batch dp-sharded over `mesh` (jax.sharding.Mesh with a 'dp'
+    axis).  The artifact records the device count (`Exported.nr_devices`);
+    the serving host loads it onto any mesh of that size and feeds
+    dp-sharded inputs — SURVEY §2.4's "eval fans whole sequences across
+    chips" as a deployable artifact, exportable from a CPU build host.
+
+    Same callable signature as export_chain; batch_size must divide the dp
+    axis size.  Params are baked in replicated (dp fan-out serving; use the
+    live `EgoEgoPipeline.shard(mesh)` path when tp param sharding matters).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    diffusion = pipeline.diffusion
+    params = pipeline.diffusion_params
+    stats = pipeline.stats
+    rest = pipeline.rest_offsets
+    dp = NamedSharding(mesh, P("dp"))
+    rep = NamedSharding(mesh, P())
+
+    def serve_fn(key_data, head_jpos, head_jquat):
+        key = jax.random.wrap_key_data(key_data, impl="threefry2x32")
+        return diffusion.sample_sliding_window_w_canonical_jit(
+            params, key, head_jpos, head_jquat, stats, rest
+        )
+
+    jf = jax.jit(serve_fn, in_shardings=(rep, dp, dp), out_shardings=(dp, dp))
+    return jax_export.export(jf, platforms=list(platforms))(
+        _spec((2,), jnp.uint32),
+        _spec((batch_size, n_frames, 3)),
+        _spec((batch_size, n_frames, 4)),
+    )
+
+
 def export_stage1(
     pipeline,
     batch_size: int,

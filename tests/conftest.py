@@ -60,6 +60,7 @@ SLOW_TESTS = {
     "test_run_batches_pipelined_matches_sequential",
     "test_chain_export_roundtrip_matches_live",
     "test_stage1_export_roundtrip_matches_live",
+    "test_sharded_chain_export_roundtrip",
     "test_env_reward_ranks_expert_above_perturbed",
     "test_pwcnet_forward_matches_reference",
     "test_eval_trajar_physics_metrics_cli",

@@ -139,3 +139,47 @@ def test_fk_export_roundtrip_matches_live(tmp_path):
                                atol=2e-5, rtol=2e-5)
     np.testing.assert_allclose(np.asarray(jp_live), np.asarray(jp_art),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_sharded_chain_export_roundtrip(tmp_path):
+    """dp-sharded serving artifact on the 8-device virtual mesh: roundtrips,
+    runs dp-sharded, and matches the unsharded live chain."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from egoego_release_tpu.parallel.mesh import make_mesh
+    from egoego_release_tpu.serving import export_chain_sharded
+
+    pipe = make_pipeline()
+    mesh = make_mesh(dp=8, tp=1)
+    b, t = 8, 16
+    exp = export_chain_sharded(pipe, b, t, mesh, platforms=("cpu",))
+    assert exp.nr_devices == 8
+    path = str(tmp_path / "chain_dp8.stablehlo")
+    save_artifact(exp, path)
+    loaded = load_artifact(path)
+
+    rng = np.random.RandomState(8)
+    jpos = np.cumsum(rng.randn(b, t, 3).astype(np.float32) * 0.02, 1)
+    q = rng.randn(b, t, 4).astype(np.float32)
+    q /= np.linalg.norm(q, axis=-1, keepdims=True)
+    key = jax.random.PRNGKey(12)
+
+    dp = NamedSharding(mesh, P("dp"))
+    rep = NamedSharding(mesh, P())
+    aa_art, root_art = loaded.call(
+        jax.device_put(np.asarray(jax.random.key_data(key)), rep),
+        jax.device_put(jpos, dp),
+        jax.device_put(q, dp),
+    )
+    assert "dp" in str(aa_art.sharding.spec)
+
+    aa_live, root_live = pipe.diffusion.sample_sliding_window_w_canonical_jit(
+        pipe.diffusion_params, key, jnp.asarray(jpos), jnp.asarray(q),
+        pipe.stats, pipe.rest_offsets,
+    )
+    # sharded compile reassociates a few reductions vs the single-device
+    # program; drift is float32-noise level
+    np.testing.assert_allclose(np.asarray(aa_live), np.asarray(aa_art),
+                               atol=2e-4, rtol=2e-4)
+    np.testing.assert_allclose(np.asarray(root_live), np.asarray(root_art),
+                               atol=2e-4, rtol=2e-4)
