@@ -24,7 +24,32 @@ import jax
 import jax.numpy as jnp
 
 
+def _check_axon_tunnel():
+    """Fail fast when the axon relay is down: jax clients HANG at 0% CPU
+    against a dead tunnel instead of erroring (observed round 3 — the relay
+    daemon died mid-session; see CLAUDE.md), which would stall a driver
+    capture forever."""
+    if os.environ.get("JAX_PLATFORMS", "") != "axon":
+        return
+    import socket
+
+    try:
+        with socket.create_connection(("127.0.0.1", 8082), timeout=5):
+            pass
+    except OSError as e:
+        print(json.dumps({
+            "metric": "DDPM window-samples/sec/chip (T=120, 1000 steps, "
+                      "stage-2 model)",
+            "value": None,
+            "unit": "samples/sec",
+            "error": f"axon tunnel relay unreachable on 127.0.0.1:8082 ({e});"
+                     " TPU unavailable on this host",
+        }))
+        raise SystemExit(2)
+
+
 def main():
+    _check_axon_tunnel()
     # rbg PRNG for the per-step sampling noise: measured +2% end-to-end over
     # threefry on v5e (BASELINE.md round-2 sweep).  DDPM sampling has no
     # noise-stream parity requirement (the reference draws from torch's RNG),
