@@ -75,7 +75,7 @@ def run(opt) -> dict:
         print(f"[{len(per_seq)}] {seq_name}: mpjpe={per_seq[seq_name]['mpjpe']:.2f}mm "
               f"head_dist={per_seq[seq_name]['head_dist']:.4f}")
 
-    if opt.sample_bs > 1 or opt.batch_seqs <= 1:
+    if opt.batch_seqs <= 1:
         # per-sequence path (best-of-sample_bs selection, like the reference)
         for seq_name, rec in eligible:
             t = opt.window
@@ -108,7 +108,9 @@ def run(opt) -> dict:
             ),
         } for chunk in chunks]
         key, sk = jax.random.split(key)
-        for chunk, b in zip(chunks, run_batches_pipelined(pipeline, batches, sk)):
+        res = run_batches_pipelined(pipeline, batches, sk,
+                                    sample_bs=opt.sample_bs)
+        for chunk, b in zip(chunks, res):
             for (seq_name, _), md in zip(chunk, b["metrics"]):
                 record_result(seq_name, md)
     n_eval = len(per_seq)

@@ -325,26 +325,55 @@ def _eval_metrics_collect(pipeline: EgoEgoPipeline, flat_dev) -> list[dict]:
     return out
 
 
+def select_best_of(mds: list[dict], n_seqs: int, sample_bs: int) -> list[dict]:
+    """Best-of-sample_bs selection by MPJPE (eval_egoego.py:345-460): mds is
+    sample-major within each sequence ((seq 0, s 0..S-1), (seq 1, ...))."""
+    assert len(mds) == n_seqs * sample_bs
+    return [
+        min(mds[i * sample_bs : (i + 1) * sample_bs],
+            key=lambda d: float(d["mpjpe"]))
+        for i in range(n_seqs)
+    ]
+
+
+def _tile_samples(head_poses, gt_jrot, gt_jpos, sample_bs: int):
+    """(N, ...) -> (N*S, ...), sample index fastest (seq-major groups)."""
+    return (
+        np.repeat(np.asarray(head_poses), sample_bs, axis=0),
+        jnp.repeat(gt_jrot, sample_bs, axis=0),
+        jnp.repeat(gt_jpos, sample_bs, axis=0),
+    )
+
+
 def evaluate_batch(
     pipeline: EgoEgoPipeline,
     head_poses: np.ndarray,        # (N, T, 7) per-sequence conditions
     gt_global_jrot: jnp.ndarray,   # (N, T, 22, 4)
     gt_global_jpos: jnp.ndarray,   # (N, T, 22, 3)
     key,
+    sample_bs: int = 1,
 ):
-    """Batched multi-sequence eval: N sequences sampled in ONE diffusion
-    chain (batch dim over sequences) + vmapped metrics.  The reference
+    """Batched multi-sequence eval: N sequences (x sample_bs best-of-N
+    candidates each) sampled in ONE diffusion chain (batch dim = sequences x
+    samples, the SURVEY §2.4 fan-in) + vmapped metrics.  The reference
     evaluates sequences one at a time (eval_stage2.py per-seq loop); on TPU
-    batching N single-window sequences costs the same 1000 steps once.
+    batching N*S single-window sequences costs the same 1000 steps once.
 
     Floor estimation stays per-sequence host-side (scalar clustering).
-    Returns a list of N metric dicts.
+    Returns a list of N metric dicts (each the best of its sample_bs
+    candidates by MPJPE, matching evaluate_sequence's selection).
     """
+    n = np.asarray(head_poses).shape[0]
+    if sample_bs > 1:
+        head_poses, gt_global_jrot, gt_global_jpos = _tile_samples(
+            head_poses, gt_global_jrot, gt_global_jpos, sample_bs
+        )
     chain_out = _eval_chain_dispatch(
         pipeline, head_poses, gt_global_jrot, gt_global_jpos, key
     )
     flat = _eval_metrics_dispatch(pipeline, chain_out)
-    return _eval_metrics_collect(pipeline, flat)
+    mds = _eval_metrics_collect(pipeline, flat)
+    return select_best_of(mds, n, sample_bs) if sample_bs > 1 else mds
 
 
 def gt_from_smpl_params(pipeline: EgoEgoPipeline, trans, root_orient, body_pose):
@@ -421,7 +450,8 @@ def _gt_snap_finalize(pipeline: EgoEgoPipeline, gq, gp):
     return gq, gp, head_pose
 
 
-def run_batches_pipelined(pipeline: EgoEgoPipeline, batches: list[dict], key):
+def run_batches_pipelined(pipeline: EgoEgoPipeline, batches: list[dict], key,
+                          sample_bs: int = 1):
     """Software-pipelined full-flow eval over multiple sequence batches.
 
     Each batch dict: records (list of stage-1 eval records, or None to
@@ -448,13 +478,16 @@ def run_batches_pipelined(pipeline: EgoEgoPipeline, batches: list[dict], key):
         ))
 
     results: list = [None] * n_b
-    pending_chain = None   # (batch idx, chain device arrays, s1 device arrays)
-    pending_flat = None    # (batch idx, flat metric device array, s1 device arrays)
+    pending_chain = None   # (batch idx, n_seqs, chain device arrays, s1 device arrays)
+    pending_flat = None    # (batch idx, n_seqs, flat metric device array, s1 device arrays)
 
     def _collect(slot):
-        j, flat, s1m = slot
+        j, n_seqs, flat, s1m = slot
+        mds = _eval_metrics_collect(pipeline, flat)
+        if sample_bs > 1:
+            mds = select_best_of(mds, n_seqs, sample_bs)
         results[j] = {
-            "metrics": _eval_metrics_collect(pipeline, flat),
+            "metrics": mds,
             "s1": None if s1m is None else tuple(np.asarray(v) for v in s1m),
         }
 
@@ -474,8 +507,9 @@ def run_batches_pipelined(pipeline: EgoEgoPipeline, batches: list[dict], key):
         # (2) synchronize on batch k-1's chain (the big block), run its host
         # floor clustering, and dispatch its metric suite
         if pending_chain is not None:
-            j, chain_out, s1m = pending_chain
-            pending_flat = (j, _eval_metrics_dispatch(pipeline, chain_out), s1m)
+            j, j_seqs, chain_out, s1m = pending_chain
+            pending_flat = (j, j_seqs,
+                            _eval_metrics_dispatch(pipeline, chain_out), s1m)
             pending_chain = None
 
         # (3) finalize this batch's pre-chain work (its device ops completed
@@ -496,7 +530,10 @@ def run_batches_pipelined(pipeline: EgoEgoPipeline, batches: list[dict], key):
         else:
             hp, s1m = np.asarray(gt_head), None
 
-        # (4) dispatch this batch's chain
+        # (4) dispatch this batch's chain (seqs x best-of-sample_bs fan-in)
+        n_seqs = hp.shape[0]
+        if sample_bs > 1:
+            hp, gq, gp = _tile_samples(hp, gq, gp, sample_bs)
         chain_out = _eval_chain_dispatch(pipeline, hp, gq, gp, keys[k])
 
         # (5) batch k-1's metric array was dispatched BEFORE this chain, so
@@ -504,11 +541,11 @@ def run_batches_pipelined(pipeline: EgoEgoPipeline, batches: list[dict], key):
         if pending_flat is not None:
             _collect(pending_flat)
             pending_flat = None
-        pending_chain = (k, chain_out, s1m)
+        pending_chain = (k, n_seqs, chain_out, s1m)
 
     # drain the tail
-    j, chain_out, s1m = pending_chain
-    _collect((j, _eval_metrics_dispatch(pipeline, chain_out), s1m))
+    j, n_seqs, chain_out, s1m = pending_chain
+    _collect((j, n_seqs, _eval_metrics_dispatch(pipeline, chain_out), s1m))
     return results
 
 

@@ -294,3 +294,50 @@ def test_run_batches_pipelined_matches_sequential():
             for name in w:
                 np.testing.assert_array_equal(g[name], w[name])
         assert got_gt[k]["s1"] is None
+
+
+def test_evaluate_batch_best_of_samples():
+    """sample_bs>1 in the BATCHED path: seqs x samples fan into one chain and
+    per-sequence best-of-N selection matches picking the min-MPJPE candidate
+    from the full candidate list (same key => identical chain outputs)."""
+    from egoego_release_tpu.eval.pipeline import (
+        _eval_chain_dispatch,
+        _eval_metrics_collect,
+        _eval_metrics_dispatch,
+        _tile_samples,
+        select_best_of,
+    )
+
+    pipe = make_pipeline()
+    gts = [synth_gt(pipe, seed=s) for s in (4, 5)]
+    hp = np.stack([np.asarray(g[2]) for g in gts])
+    gq = jnp.stack([g[0] for g in gts])
+    gp = jnp.stack([g[1] for g in gts])
+    key = jax.random.PRNGKey(21)
+    s = 3
+
+    best = evaluate_batch(pipe, hp, gq, gp, key, sample_bs=s)
+
+    hp_t, gq_t, gp_t = _tile_samples(hp, gq, gp, s)
+    chain_out = _eval_chain_dispatch(pipe, hp_t, gq_t, gp_t, key)
+    all_mds = _eval_metrics_collect(
+        pipe, _eval_metrics_dispatch(pipe, chain_out)
+    )
+    assert len(all_mds) == 2 * s
+    want = select_best_of(all_mds, 2, s)
+    for b, w in zip(best, want):
+        np.testing.assert_array_equal(b["mpjpe"], w["mpjpe"])
+        np.testing.assert_array_equal(b["single_jpe"], w["single_jpe"])
+    # selection really is the group minimum
+    for i, b in enumerate(best):
+        grp = [float(m["mpjpe"]) for m in all_mds[i * s:(i + 1) * s]]
+        assert float(b["mpjpe"]) == min(grp)
+        assert len(set(grp)) == s  # candidates genuinely differ (noise)
+
+
+def test_select_best_of_unit():
+    from egoego_release_tpu.eval.pipeline import select_best_of
+
+    mds = [{"mpjpe": v} for v in (3.0, 1.0, 2.0, 5.0, 4.0, 6.0)]
+    best = select_best_of(mds, 2, 3)
+    assert [b["mpjpe"] for b in best] == [1.0, 4.0]

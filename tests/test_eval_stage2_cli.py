@@ -54,6 +54,7 @@ def test_eval_stage2_cli_batched_sharded(amass_fixture, tmp_path):
         "--rest_offsets", amass_fixture["rest_path"],
         "--window", "16", "--timesteps", "8",
         "--batch_seqs", "4",       # 6 eligible -> chunks of 4 + 2 (ragged)
+        "--sample_bs", "2",        # best-of-2 candidates per sequence
         "--dp", "4", "--tp", "2",
         "--out_dir", out_dir,
     ])
