@@ -92,6 +92,7 @@ def run(opt) -> dict:
     per_seq = {}
     n_eval = 0
 
+    eligible = []
     for i in range(len(ds)):
         rec = ds[i]
         seq_name = rec["seq_name"]
@@ -100,8 +101,65 @@ def run(opt) -> dict:
         gt_key = seq_name + ".npz" if opt.test_on_ares else seq_name
         if gt_key not in full_body_gt:
             continue
-        gt_rec = full_body_gt[gt_key]
+        eligible.append((seq_name, rec, full_body_gt[gt_key]))
+        if opt.max_seqs and len(eligible) >= opt.max_seqs:
+            break
 
+    batch_seqs = opt.batch_seqs
+    if batch_seqs > 1 and (opt.mujoco_xml or opt.save_html_vis):
+        print("WARNING: --batch_seqs is incompatible with --mujoco_xml/"
+              "--save_html_vis; falling back to the per-sequence path")
+        batch_seqs = 1
+    if batch_seqs > 1:
+        # TPU fan-in: bucket same-length sequences, run chunks through the
+        # software-pipelined driver (qpos GT decode + stage 1 + chain +
+        # metrics; host work overlaps the neighbouring chunks' chains)
+        from egoego_release_tpu.eval.pipeline import run_batches_pipelined
+
+        buckets: dict = {}
+        for item in eligible:
+            seq_name, rec, gt_rec = item
+            bkey = (np.asarray(rec["of"]).shape[0],
+                    np.asarray(rec["head_pose"]).shape[0],
+                    np.asarray(gt_rec["qpos"]).shape[0])
+            buckets.setdefault(bkey, []).append(item)
+
+        chunks = []
+        for items in buckets.values():
+            for s in range(0, len(items), batch_seqs):
+                chunks.append(items[s : s + batch_seqs])
+        batches = [{
+            "records": None if opt.use_gt_head_pose else [it[1] for it in chunk],
+            "gt_qpos": np.stack(
+                [np.asarray(it[2]["qpos"], np.float32) for it in chunk]
+            ),
+            "gt_head_pose": np.stack([
+                np.asarray(it[2]["head_pose"], np.float32)[
+                    : np.asarray(chunk[0][2]["qpos"]).shape[0]
+                ]
+                for it in chunk
+            ]),
+        } for chunk in chunks]
+        key, sk = jax.random.split(key)
+        res = run_batches_pipelined(pipeline, batches, sk,
+                                    sample_bs=opt.sample_bs)
+        for chunk, b in zip(chunks, res):
+            for j, ((seq_name, _, _), md) in enumerate(zip(chunk, b["metrics"])):
+                entry = {k: float(np.mean(v)) for k, v in md.items()
+                         if k != "single_jpe"}
+                if b["s1"] is not None:
+                    s1_e, s1_o, s1_t = (float(v[j]) for v in b["s1"])
+                    entry.update({"s1_e_head": s1_e, "s1_o_head": s1_o,
+                                  "s1_t_head": s1_t})
+                per_seq[seq_name] = entry
+                for k2, v in entry.items():
+                    agg.setdefault(k2, []).append(v)
+                n_eval += 1
+                print(f"[{n_eval}] {seq_name}: mpjpe={entry['mpjpe']:.2f}mm "
+                      f"head_dist={entry['head_dist']:.4f}")
+        eligible = []  # handled
+
+    for seq_name, rec, gt_rec in eligible:
         # ---- stage 1 ----
         if opt.use_gt_head_pose:
             head_pose = np.asarray(gt_rec["head_pose"], np.float32)
@@ -173,8 +231,6 @@ def run(opt) -> dict:
             agg.setdefault(k, []).append(v)
         n_eval += 1
         print(f"  mpjpe={entry['mpjpe']:.2f}mm head_dist={entry['head_dist']:.4f}")
-        if opt.max_seqs and n_eval >= opt.max_seqs:
-            break
 
     summary = {k: float(np.mean(v)) for k, v in agg.items()}
     result = {"mean": summary, "per_seq": per_seq, "num_seqs": n_eval}
@@ -204,6 +260,10 @@ def parse_opt(argv=None):
     p.add_argument("--timesteps", type=int, default=1000,
                    help="DDPM steps (1000 = reference; lower for smoke runs)")
     p.add_argument("--sample_bs", type=int, default=1)
+    p.add_argument("--batch_seqs", type=int, default=1,
+                   help="TPU fan-in: bucket same-length sequences and run N "
+                        "per pipelined diffusion chain (composes with "
+                        "--sample_bs best-of-N and --dp/--tp)")
     p.add_argument("--fused", action="store_true",
                    help="fused Pallas decoder-layer denoiser (faster at "
                         "batch>=128; bf16-rounding-level drift — BASELINE.md)")

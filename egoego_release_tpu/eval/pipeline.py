@@ -455,8 +455,13 @@ def run_batches_pipelined(pipeline: EgoEgoPipeline, batches: list[dict], key,
     """Software-pipelined full-flow eval over multiple sequence batches.
 
     Each batch dict: records (list of stage-1 eval records, or None to
-    condition on the GT head pose), gt_trans (N,T,3), gt_root_orient (N,T,3),
-    gt_body_pose (N,T,63).  Returns a list (per batch) of
+    condition on the GT head pose), and the GT bodies as EITHER SMPL params
+    — gt_trans (N,T,3), gt_root_orient (N,T,3), gt_body_pose (N,T,63) —
+    OR kinpoly qpos records — gt_qpos (N,T,76), decoded on device via the
+    qpos->SMPL codec (eval_egoego.py:315-322).  Optional gt_head_pose
+    (N,T,7) overrides the FK-derived head pose for the stage-1 metrics
+    (eval_egoego compares against the RECORD head pose, :297-312).  Returns
+    a list (per batch) of
     {"metrics": [N per-sequence metric dicts], "s1": (e, o, t) arrays | None}.
 
     Single-TPU schedule: everything the flow needs from the device for batch
@@ -491,15 +496,31 @@ def run_batches_pipelined(pipeline: EgoEgoPipeline, batches: list[dict], key,
             "s1": None if s1m is None else tuple(np.asarray(v) for v in s1m),
         }
 
+    if any("gt_qpos" in b for b in batches) and "_qpos_decode" not in pipeline.extras:
+        def _qpos_decode(qpos):
+            trans, aa24 = jax.vmap(geometry.qpos_to_smpl)(qpos)
+            n, t = qpos.shape[:2]
+            return trans, aa24[:, :, 0], aa24[:, :, 1:22].reshape(n, t, 63)
+
+        pipeline.extras["_qpos_decode"] = jax.jit(_qpos_decode)
+
     for k, batch in enumerate(batches):
         records = batch.get("records")
-        t_gt = np.asarray(batch["gt_trans"]).shape[1]
+        if "gt_qpos" in batch:
+            t_gt = np.asarray(batch["gt_qpos"]).shape[1]
+            gt_trans, gt_root_orient, gt_body_pose = pipeline.extras[
+                "_qpos_decode"
+            ](jnp.asarray(np.asarray(batch["gt_qpos"], np.float32)))
+        else:
+            t_gt = np.asarray(batch["gt_trans"]).shape[1]
+            gt_trans = batch["gt_trans"]
+            gt_root_orient = batch["gt_root_orient"]
+            gt_body_pose = batch["gt_body_pose"]
 
         # (1) dispatch this batch's small device programs; they queue behind
         # batch k-1's chain, and their results are not touched until (3)
         gq_raw, gp_raw = _gt_fk_dispatch(
-            pipeline, batch["gt_trans"], batch["gt_root_orient"],
-            batch["gt_body_pose"],
+            pipeline, gt_trans, gt_root_orient, gt_body_pose,
         )
         s1_out = (pipeline.stage1_head_pose_batched(records)
                   if records is not None else None)
@@ -517,7 +538,8 @@ def run_batches_pipelined(pipeline: EgoEgoPipeline, batches: list[dict], key,
         gq, gp, gt_head = _gt_snap_finalize(pipeline, gq_raw, gp_raw)
         if s1_out is not None:
             hp = np.array(s1_out["head_pose"])[:, :t_gt]
-            gt_head_np = np.asarray(gt_head)
+            gt_head_np = (np.asarray(batch["gt_head_pose"], np.float32)[:, :t_gt]
+                          if "gt_head_pose" in batch else np.asarray(gt_head))
             pred, gt = hp.copy(), gt_head_np.copy()
             pred[:, :, :2] -= pred[:, 0:1, :2]
             gt[:, :, :2] -= gt[:, 0:1, :2]
