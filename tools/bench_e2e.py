@@ -22,7 +22,26 @@ import jax
 import jax.numpy as jnp
 
 
+
+def _check_axon_tunnel():
+    """Fail fast when the axon relay is down (clients hang forever otherwise;
+    see CLAUDE.md / bench.py)."""
+    if os.environ.get("JAX_PLATFORMS", "") != "axon":
+        return
+    import socket
+
+    try:
+        with socket.create_connection(("127.0.0.1", 8082), timeout=5):
+            pass
+    except OSError as e:
+        raise SystemExit(
+            f"axon tunnel relay unreachable on 127.0.0.1:8082 ({e}); "
+            "TPU unavailable on this host"
+        )
+
+
 def main():
+    _check_axon_tunnel()
     jax.config.update("jax_default_prng_impl", "rbg")  # see bench.py
 
     from egoego_release_tpu.diffusion import CondGaussianDiffusion, DiffusionConfig
