@@ -146,6 +146,63 @@ def export_stage1(
     )
 
 
+def export_e2e(
+    pipeline,
+    batch_size: int,
+    n_frames: int,
+    of_dim: int = 512,
+    floor_offset: float = 0.0,
+    platforms: tuple[str, ...] = DEFAULT_PLATFORMS,
+):
+    """The COMPLETE EgoEgo system as ONE serialized program: stage-1 head
+    estimation -> conditional sliding-window diffusion -> SMPL FK
+    (run_egoego.py's whole per-sequence flow, which is host-free between
+    stages; the reference round-trips through numpy twice).  All three
+    models' weights + stats + rest offsets baked in.
+
+    Signature: (key uint32[2], of [B,T-1,of_dim], init_quat [B,4],
+                aligned_slam_trans [B,T,3], ori_trans [B,T,3],
+                ori_mat [B,T,3,3], ref_head_pose [B,T,7])
+        -> (local_aa [B,T',22,3], root_pos [B,T',3],
+            pred_jrot [B,T',22,4], pred_jpos [B,T',22,3],
+            head_pose [B,T,7], pred_scale [B])
+
+    `floor_offset` is the demo's fixed floor-height shift
+    (run_egoego.py:136), baked in.  Post-hoc floor re-detection stays a
+    host-side consumer step, as in the live CLI.
+    """
+    s1fn = pipeline._stage1_fn(batched=True)
+    diffusion = pipeline.diffusion
+
+    def serve_fn(key_data, of, init_quat, aligned_slam_trans, ori_trans,
+                 ori_mat, ref_head_pose):
+        key = jax.random.wrap_key_data(key_data, impl="threefry2x32")
+        head_pose, pred_scale, _ = s1fn(
+            pipeline.headnet_params, pipeline.gravitynet_params,
+            of, init_quat, aligned_slam_trans, ori_trans, ori_mat,
+            ref_head_pose,
+        )
+        head_pose = head_pose.at[..., 2].add(floor_offset)
+        local_aa, root_pos = diffusion.sample_sliding_window_w_canonical_jit(
+            pipeline.diffusion_params, key,
+            head_pose[..., :3], head_pose[..., 3:],
+            pipeline.stats, pipeline.rest_offsets,
+        )
+        pred_jrot, pred_jpos = pipeline.fk(root_pos, local_aa)
+        return local_aa, root_pos, pred_jrot, pred_jpos, head_pose, pred_scale
+
+    b, t = batch_size, n_frames
+    return jax_export.export(jax.jit(serve_fn), platforms=list(platforms))(
+        _spec((2,), jnp.uint32),
+        _spec((b, t - 1, of_dim)),
+        _spec((b, 4)),
+        _spec((b, t, 3)),
+        _spec((b, t, 3)),
+        _spec((b, t, 3, 3)),
+        _spec((b, t, 7)),
+    )
+
+
 def export_fk(
     pipeline,
     batch_size: int,
@@ -190,7 +247,7 @@ def main(argv=None):
     from egoego_release_tpu.eval.build import build_pipeline
 
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("which", choices=["chain", "stage1", "fk"])
+    p.add_argument("which", choices=["chain", "stage1", "fk", "e2e"])
     p.add_argument("--stats_path", required=True)
     p.add_argument("--rest_offsets", required=True)
     p.add_argument("--diffusion_ckpt", default=None)
@@ -201,6 +258,8 @@ def main(argv=None):
     p.add_argument("--window", type=int, default=120)
     p.add_argument("--timesteps", type=int, default=1000)
     p.add_argument("--ddim_steps", type=int, default=0)
+    p.add_argument("--floor_offset", type=float, default=0.0,
+                   help="e2e only: fixed demo floor shift (run_egoego.py:136)")
     p.add_argument("--platforms", default="tpu,cpu",
                    help="comma-separated lowering targets")
     p.add_argument("--out", required=True)
@@ -224,6 +283,9 @@ def main(argv=None):
     elif args.which == "stage1":
         exp = export_stage1(pipeline, args.batch_size, args.n_frames,
                             platforms=platforms)
+    elif args.which == "e2e":
+        exp = export_e2e(pipeline, args.batch_size, args.n_frames,
+                         floor_offset=args.floor_offset, platforms=platforms)
     else:
         exp = export_fk(pipeline, args.batch_size, args.n_frames,
                         platforms=platforms)

@@ -61,6 +61,7 @@ SLOW_TESTS = {
     "test_chain_export_roundtrip_matches_live",
     "test_stage1_export_roundtrip_matches_live",
     "test_sharded_chain_export_roundtrip",
+    "test_e2e_export_roundtrip_matches_live",
     "test_eval_stage2_cli_batched_sharded",
     "test_eval_egoego_cli_batched_buckets",
     "test_env_reward_ranks_expert_above_perturbed",

@@ -183,3 +183,48 @@ def test_sharded_chain_export_roundtrip(tmp_path):
                                atol=2e-4, rtol=2e-4)
     np.testing.assert_allclose(np.asarray(root_live), np.asarray(root_art),
                                atol=2e-4, rtol=2e-4)
+
+
+def test_e2e_export_roundtrip_matches_live(tmp_path):
+    """Whole-system artifact (stage1 -> chain -> FK in ONE program) matches
+    the live three-stage composition with the same key."""
+    from egoego_release_tpu.serving import export_e2e
+
+    pipe = make_pipeline(with_stage1=True)
+    b, t = 2, 16
+    exp = export_e2e(pipe, b, t, floor_offset=0.07, platforms=("cpu",))
+    path = str(tmp_path / "e2e.stablehlo")
+    save_artifact(exp, path)
+    loaded = load_artifact(path)
+
+    rng = np.random.RandomState(9)
+    q0 = rng.randn(b, 4).astype(np.float32)
+    q0 /= np.linalg.norm(q0, axis=-1, keepdims=True)
+    args = (
+        rng.randn(b, t - 1, 512).astype(np.float32),
+        q0,
+        np.cumsum(rng.randn(b, t, 3).astype(np.float32) * 0.02, 1),
+        np.cumsum(rng.randn(b, t, 3).astype(np.float32) * 0.02, 1),
+        np.stack([np.stack([np.eye(3, dtype=np.float32)] * t)] * b),
+        rng.randn(b, t, 7).astype(np.float32),
+    )
+    jargs = tuple(jnp.asarray(a) for a in args)
+    key = jax.random.PRNGKey(33)
+
+    out = loaded.call(jax.random.key_data(key), *jargs)
+    aa_a, root_a, jrot_a, jpos_a, hp_a, scale_a = out
+
+    hp, scale, _ = pipe._stage1_fn(batched=True)(
+        pipe.headnet_params, pipe.gravitynet_params, *jargs
+    )
+    hp = hp.at[..., 2].add(0.07)
+    aa, root = pipe.diffusion.sample_sliding_window_w_canonical_jit(
+        pipe.diffusion_params, key, hp[..., :3], hp[..., 3:],
+        pipe.stats, pipe.rest_offsets,
+    )
+    jrot, jpos = pipe.fk(root, aa)
+
+    for got, want in ((aa_a, aa), (root_a, root), (jrot_a, jrot),
+                      (jpos_a, jpos), (hp_a, hp), (scale_a, scale)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5, rtol=2e-5)
