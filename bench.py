@@ -25,25 +25,18 @@ import jax.numpy as jnp
 
 
 def _check_axon_tunnel():
-    """Fail fast when the axon relay is down: jax clients HANG at 0% CPU
-    against a dead tunnel instead of erroring (observed round 3 — the relay
-    daemon died mid-session; see CLAUDE.md), which would stall a driver
-    capture forever."""
-    if os.environ.get("JAX_PLATFORMS", "") != "axon":
-        return
-    import socket
+    """Fail fast (with an error JSON for the driver) when the relay is down;
+    see egoego_release_tpu/utils/tunnel.py."""
+    from egoego_release_tpu.utils.tunnel import check_axon_tunnel
 
-    try:
-        with socket.create_connection(("127.0.0.1", 8082), timeout=5):
-            pass
-    except OSError as e:
+    err = check_axon_tunnel()
+    if err is not None:
         print(json.dumps({
             "metric": "DDPM window-samples/sec/chip (T=120, 1000 steps, "
                       "stage-2 model)",
             "value": None,
             "unit": "samples/sec",
-            "error": f"axon tunnel relay unreachable on 127.0.0.1:8082 ({e});"
-                     " TPU unavailable on this host",
+            "error": err,
         }))
         raise SystemExit(2)
 

@@ -119,9 +119,15 @@ def run(opt) -> dict:
         buckets: dict = {}
         for item in eligible:
             seq_name, rec, gt_rec = item
+            # every stacked array's length is part of the key — SLAM results
+            # may be truncated and GT head_pose may be shorter than qpos
+            # (the per-sequence path min-trims; stacking cannot)
             bkey = (np.asarray(rec["of"]).shape[0],
                     np.asarray(rec["head_pose"]).shape[0],
-                    np.asarray(gt_rec["qpos"]).shape[0])
+                    np.asarray(rec["aligned_slam_trans"]).shape[0],
+                    np.asarray(rec["ori_slam_trans"]).shape[0],
+                    np.asarray(gt_rec["qpos"]).shape[0],
+                    np.asarray(gt_rec["head_pose"]).shape[0])
             buckets.setdefault(bkey, []).append(item)
 
         chunks = []
@@ -133,12 +139,9 @@ def run(opt) -> dict:
             "gt_qpos": np.stack(
                 [np.asarray(it[2]["qpos"], np.float32) for it in chunk]
             ),
-            "gt_head_pose": np.stack([
-                np.asarray(it[2]["head_pose"], np.float32)[
-                    : np.asarray(chunk[0][2]["qpos"]).shape[0]
-                ]
-                for it in chunk
-            ]),
+            "gt_head_pose": np.stack(
+                [np.asarray(it[2]["head_pose"], np.float32) for it in chunk]
+            ),
         } for chunk in chunks]
         key, sk = jax.random.split(key)
         res = run_batches_pipelined(pipeline, batches, sk,
@@ -149,8 +152,12 @@ def run(opt) -> dict:
                          if k != "single_jpe"}
                 if b["s1"] is not None:
                     s1_e, s1_o, s1_t = (float(v[j]) for v in b["s1"])
-                    entry.update({"s1_e_head": s1_e, "s1_o_head": s1_o,
-                                  "s1_t_head": s1_t})
+                else:
+                    # GT-head mode: the per-sequence path reports exact zeros
+                    # (it compares the GT head pose against itself)
+                    s1_e = s1_o = s1_t = 0.0
+                entry.update({"s1_e_head": s1_e, "s1_o_head": s1_o,
+                              "s1_t_head": s1_t})
                 per_seq[seq_name] = entry
                 for k2, v in entry.items():
                     agg.setdefault(k2, []).append(v)

@@ -474,6 +474,8 @@ def run_batches_pipelined(pipeline: EgoEgoPipeline, batches: list[dict], key,
     stage1_head_pose_batched + evaluate_batch composition (same programs,
     same keys); only the host/device interleaving changes."""
     n_b = len(batches)
+    if n_b == 0:
+        return []
     keys = jax.random.split(key, n_b)
     if "_s1_metrics_batched" not in pipeline.extras:
         pipeline.extras["_s1_metrics_batched"] = jax.jit(jax.vmap(
@@ -538,9 +540,12 @@ def run_batches_pipelined(pipeline: EgoEgoPipeline, batches: list[dict], key,
         gq, gp, gt_head = _gt_snap_finalize(pipeline, gq_raw, gp_raw)
         if s1_out is not None:
             hp = np.array(s1_out["head_pose"])[:, :t_gt]
-            gt_head_np = (np.asarray(batch["gt_head_pose"], np.float32)[:, :t_gt]
+            gt_head_np = (np.asarray(batch["gt_head_pose"], np.float32)
                           if "gt_head_pose" in batch else np.asarray(gt_head))
-            pred, gt = hp.copy(), gt_head_np.copy()
+            # min-trim for the stage-1 metrics, mirroring stage1_metrics's
+            # per-sequence min() (stage-1 output / GT lengths may differ)
+            t_cmp = min(hp.shape[1], gt_head_np.shape[1])
+            pred, gt = hp[:, :t_cmp].copy(), gt_head_np[:, :t_cmp].copy()
             pred[:, :, :2] -= pred[:, 0:1, :2]
             gt[:, :, :2] -= gt[:, 0:1, :2]
             s1m = pipeline.extras["_s1_metrics_batched"](

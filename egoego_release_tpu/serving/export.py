@@ -84,8 +84,8 @@ def export_chain_sharded(
     dp-sharded inputs — SURVEY §2.4's "eval fans whole sequences across
     chips" as a deployable artifact, exportable from a CPU build host.
 
-    Same callable signature as export_chain; batch_size must divide the dp
-    axis size.  Params are baked in replicated (dp fan-out serving; use the
+    Same callable signature as export_chain; the dp axis size must divide
+    batch_size.  Params are baked in replicated (dp fan-out serving; use the
     live `EgoEgoPipeline.shard(mesh)` path when tp param sharding matters).
     """
     from jax.sharding import NamedSharding, PartitionSpec as P

@@ -68,3 +68,20 @@ def test_eval_stage2_cli_batched_sharded(amass_fixture, tmp_path):
     res = json.load(open(os.path.join(
         out_dir, "stage2_diffusion_model_res_on_amass_test.json")))
     assert res["num_seqs"] == 6
+
+
+def test_eval_stage2_cli_batched_empty(amass_fixture, tmp_path):
+    """No eligible sequences (window longer than every sequence) must write
+    the empty summary, not crash the pipelined driver (review finding:
+    pending_chain unpack on empty batches)."""
+    from egoego_release_tpu.eval.eval_stage2 import parse_opt, run
+
+    opt = parse_opt([
+        "--test_data_path", amass_fixture["data_path"],
+        "--stats_path", amass_fixture["stats_path"],
+        "--rest_offsets", amass_fixture["rest_path"],
+        "--window", "500", "--timesteps", "8", "--batch_seqs", "4",
+        "--out_dir", str(tmp_path / "out_empty"),
+    ])
+    result = run(opt)
+    assert result["num_seqs"] == 0 and result["per_seq"] == {}

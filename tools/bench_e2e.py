@@ -25,19 +25,12 @@ import jax.numpy as jnp
 
 def _check_axon_tunnel():
     """Fail fast when the axon relay is down (clients hang forever otherwise;
-    see CLAUDE.md / bench.py)."""
-    if os.environ.get("JAX_PLATFORMS", "") != "axon":
-        return
-    import socket
+    see egoego_release_tpu/utils/tunnel.py)."""
+    from egoego_release_tpu.utils.tunnel import check_axon_tunnel
 
-    try:
-        with socket.create_connection(("127.0.0.1", 8082), timeout=5):
-            pass
-    except OSError as e:
-        raise SystemExit(
-            f"axon tunnel relay unreachable on 127.0.0.1:8082 ({e}); "
-            "TPU unavailable on this host"
-        )
+    err = check_axon_tunnel()
+    if err is not None:
+        raise SystemExit(err)
 
 
 def main():
