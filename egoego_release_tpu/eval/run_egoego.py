@@ -36,6 +36,7 @@ def run(opt):
         headnet_ckpt=opt.headnet_ckpt,
         gravitynet_ckpt=opt.gravitynet_ckpt,
         window=opt.window,
+        timesteps=opt.timesteps,
     )
     ds = ARESDemoDataset(opt.data_root_folder)
     os.makedirs(opt.out_dir, exist_ok=True)
@@ -105,6 +106,8 @@ def parse_opt(argv=None):
     p.add_argument("--smplh_path", default=None)
     p.add_argument("--rest_offsets", default=None)
     p.add_argument("--window", type=int, default=120)
+    p.add_argument("--timesteps", type=int, default=1000,
+                   help="DDPM steps (reduce only for smoke tests)")
     p.add_argument("--demo_floor_offset", type=float, default=-0.13)
     p.add_argument("--export_objs", action="store_true")
     p.add_argument("--save_html_vis", action="store_true",

@@ -55,7 +55,16 @@ def frames_to_video(frame_folder: str, out_path: str, fps: int = 30) -> bool:
     )
     if not frames:
         return False
-    with imageio.get_writer(out_path, fps=fps) as w:
+    try:
+        writer = imageio.get_writer(out_path, fps=fps)
+    except (ValueError, OSError) as e:
+        # no ffmpeg plugin in this environment: fall back to an animated GIF
+        # (imageio's built-in pillow plugin) rather than failing the export
+        gif_path = os.path.splitext(out_path)[0] + ".gif"
+        print(f"video writer unavailable ({e}); writing {gif_path} instead")
+        out_path = gif_path
+        writer = imageio.get_writer(out_path, duration=1000.0 / fps, loop=0)
+    with writer as w:
         for f in frames:
             w.append_data(imageio.imread(f))
     return True

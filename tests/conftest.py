@@ -64,6 +64,7 @@ SLOW_TESTS = {
     "test_e2e_export_roundtrip_matches_live",
     "test_eval_stage2_cli_batched_sharded",
     "test_eval_egoego_cli_batched_buckets",
+    "test_run_egoego_cli_demo_fixture",
     "test_env_reward_ranks_expert_above_perturbed",
     "test_pwcnet_forward_matches_reference",
     "test_eval_trajar_physics_metrics_cli",
