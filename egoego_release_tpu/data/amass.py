@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from egoego_release_tpu.data import formats
-from egoego_release_tpu.diffusion.gaussian_diffusion import NormStats, normalize_jpos
+from egoego_release_tpu.diffusion.gaussian_diffusion import NormStats
 from egoego_release_tpu.ops import fk as fk_mod
 from egoego_release_tpu.ops import heading
 from egoego_release_tpu.ops import rotations as rot

@@ -13,7 +13,6 @@ from egoego_release_tpu.data.formats import load_norm_stats
 from egoego_release_tpu.diffusion.gaussian_diffusion import (
     CondGaussianDiffusion,
     DiffusionConfig,
-    NormStats,
 )
 from egoego_release_tpu.eval.pipeline import EgoEgoPipeline
 from egoego_release_tpu.models.gravitynet import HeadNormalFormer

@@ -16,7 +16,6 @@ import jax.numpy as jnp
 
 from egoego_release_tpu.diffusion.gaussian_diffusion import (
     CondGaussianDiffusion,
-    DiffusionConfig,
     NormStats,
 )
 from egoego_release_tpu.eval import metrics as metrics_mod

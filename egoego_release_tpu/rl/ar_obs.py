@@ -30,7 +30,7 @@ from egoego_release_tpu.rl.sim_rewards import get_heading  # noqa: F401 (re-expo
 from egoego_release_tpu.rl.uhc_obs import (
     DEFAULT_OBS_SPECS,
     obs_v12_core,
-    transform_vec_batch,  # noqa: F401 (re-export for callers)
+    # noqa: F401 (re-export for callers)
 )
 from egoego_release_tpu.rl.uhc_rewards import (
     _quat_inv,

@@ -26,7 +26,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from egoego_release_tpu.models.trajar import ACTION_DIM, QPOS_DIM, QVEL_DIM, step_qpos
+from egoego_release_tpu.models.trajar import ACTION_DIM, QVEL_DIM, step_qpos
 from egoego_release_tpu.ops import fk as fk_mod
 from egoego_release_tpu.ops import geometry
 from egoego_release_tpu.ops import heading as heading_mod

@@ -12,7 +12,6 @@ computation, minibatch updates — is jitted).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

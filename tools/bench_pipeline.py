@@ -76,7 +76,6 @@ def main():
     _check_axon_tunnel()
     jax.config.update("jax_default_prng_impl", "rbg")  # see bench.py
 
-    from egoego_release_tpu.diffusion.gaussian_diffusion import NormStats
     from egoego_release_tpu.eval import metrics as metrics_mod
     from egoego_release_tpu.eval.build import build_pipeline
     from egoego_release_tpu.eval.pipeline import (
