@@ -69,6 +69,7 @@ SLOW_TESTS = {
     "test_pwcnet_forward_matches_reference",
     "test_eval_trajar_physics_metrics_cli",
     "test_raw_flow_training_step",
+    "test_dryrun_multichip_entrypoint_subprocess",
 }
 
 

@@ -24,11 +24,13 @@ import jax.numpy as jnp
 
 
 def _check_axon_tunnel():
-    """Fail fast when the axon relay is down (clients hang forever otherwise;
-    see egoego_release_tpu/utils/tunnel.py)."""
-    from egoego_release_tpu.utils.tunnel import check_axon_tunnel
+    """Fail fast when the axon backend is unusable — relay dead (TCP) OR
+    listening-but-sick (watchdogged subprocess probe of jax.devices();
+    clients hang forever at 0% CPU otherwise — see
+    egoego_release_tpu/utils/tunnel.py)."""
+    from egoego_release_tpu.utils.tunnel import check_axon_backend
 
-    err = check_axon_tunnel()
+    err = check_axon_backend()
     if err is not None:
         raise SystemExit(err)
 
