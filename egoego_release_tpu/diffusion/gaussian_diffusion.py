@@ -267,12 +267,26 @@ class CondGaussianDiffusion:
     def _microbatched(self, fn, key, arrays: dict) -> Array | None:
         """Run `fn(key, chunk_dict)` over sample_microbatch-sized chunks of
         the batch via lax.map (one jit, sequential chunks).  Returns None if
-        microbatching does not apply."""
+        microbatching does not apply (mb unset, or bs <= mb).
+
+        A batch that is not a multiple of sample_microbatch is PADDED up to
+        one (repeating the last row — rows are independent through the
+        denoiser) and the result sliced back, so setting mb always takes
+        effect (ADVICE r3: the old behavior silently fell back to the
+        full-batch path the user was trying to avoid, e.g. mb=64 bs=96)."""
         mb = self.cfg.sample_microbatch
         bs = arrays["x_start"].shape[0]
-        if not mb or bs <= mb or bs % mb:
+        if not mb or bs <= mb:
             return None
-        k = bs // mb
+        pad = (-bs) % mb
+        if pad:
+            arrays = {
+                name: (None if a is None
+                       else jnp.concatenate(
+                           [a, jnp.repeat(a[-1:], pad, axis=0)], axis=0))
+                for name, a in arrays.items()
+            }
+        k = (bs + pad) // mb
         chunked = {
             name: a.reshape(k, mb, *a.shape[1:])
             for name, a in arrays.items()
@@ -283,7 +297,8 @@ class CondGaussianDiffusion:
             lambda c: fn(c["key"], {n: v for n, v in c.items() if n != "key"}),
             chunked,
         )
-        return out.reshape(bs, *out.shape[2:])
+        out = out.reshape(k * mb, *out.shape[2:])
+        return out[:bs] if pad else out
 
     def p_sample_loop(
         self,

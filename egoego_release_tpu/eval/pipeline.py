@@ -287,8 +287,14 @@ def _eval_metrics_dispatch(pipeline: EgoEgoPipeline, chain_out):
     # (N, K) array: unjitted, the vmapped suite dispatched every op eagerly
     # and the per-key np.asarray cost ~36 blocking tunnel round trips —
     # together they dominated evaluate_batch on the real chip (BASELINE.md
-    # round-3 e2e bench).  The key/width spec is captured at trace time.
-    if "_eval_metrics_flat" not in pipeline.extras:
+    # round-3 e2e bench).  The key/width spec is captured at trace time and
+    # CACHED PER INPUT SHAPE (ADVICE r3): a single mutable closure would be
+    # silently stale if a cached-shape dispatch followed a retrace and a
+    # metric's width ever became shape-dependent.
+    cache = pipeline.extras.setdefault("_eval_metrics_flat", {})
+    shape_key = (gt_jrot_t.shape, gt_jpos_c.shape,
+                 pred_jrot.shape, pred_jpos_c.shape)
+    if shape_key not in cache:
         spec: list = []
 
         def _metrics_flat(gt_jrot, gt_jpos_c, pred_jrot, pred_jpos_c, floors):
@@ -304,15 +310,17 @@ def _eval_metrics_dispatch(pipeline: EgoEgoPipeline, chain_out):
                 cols.append(v)
             return jnp.concatenate(cols, axis=1)
 
-        pipeline.extras["_eval_metrics_flat"] = (jax.jit(_metrics_flat), spec)
-    metrics_fn, _ = pipeline.extras["_eval_metrics_flat"]
-    return metrics_fn(gt_jrot_t, gt_jpos_c, pred_jrot, pred_jpos_c, pred_floors)
+        cache[shape_key] = (jax.jit(_metrics_flat), spec)
+    metrics_fn, spec = cache[shape_key]
+    flat = metrics_fn(gt_jrot_t, gt_jpos_c, pred_jrot, pred_jpos_c, pred_floors)
+    return flat, spec
 
 
-def _eval_metrics_collect(pipeline: EgoEgoPipeline, flat_dev) -> list[dict]:
+def _eval_metrics_collect(pipeline: EgoEgoPipeline, dispatched) -> list[dict]:
     """Fetch the flattened metric array (ONE device->host transfer) and
-    unpack it into per-sequence metric dicts."""
-    _, spec = pipeline.extras["_eval_metrics_flat"]
+    unpack it into per-sequence metric dicts using the spec captured by the
+    same-shape trace that produced it."""
+    flat_dev, spec = dispatched
     flat = np.asarray(flat_dev)
     out = []
     for s in range(flat.shape[0]):
@@ -485,7 +493,7 @@ def run_batches_pipelined(pipeline: EgoEgoPipeline, batches: list[dict], key,
 
     results: list = [None] * n_b
     pending_chain = None   # (batch idx, n_seqs, chain device arrays, s1 device arrays)
-    pending_flat = None    # (batch idx, n_seqs, flat metric device array, s1 device arrays)
+    pending_flat = None    # (batch idx, n_seqs, (flat metric device array, spec), s1 device arrays)
 
     def _collect(slot):
         j, n_seqs, flat, s1m = slot
@@ -538,7 +546,15 @@ def run_batches_pipelined(pipeline: EgoEgoPipeline, batches: list[dict], key,
         # right after the chain we just waited on)
         gq, gp, gt_head = _gt_snap_finalize(pipeline, gq_raw, gp_raw)
         if s1_out is not None:
-            hp = np.array(s1_out["head_pose"])[:, :t_gt]
+            # Trim the stage-1 head pose to min(qpos len, GT head-pose len)
+            # when an explicit GT head pose is given — the per-sequence
+            # eval_egoego path trims to the GT head-pose length, so trimming
+            # to t_gt alone would condition the chain on a longer head
+            # trajectory than the sequential flow (ADVICE r3).
+            t_hp = t_gt
+            if "gt_head_pose" in batch:
+                t_hp = min(t_gt, np.asarray(batch["gt_head_pose"]).shape[1])
+            hp = np.array(s1_out["head_pose"])[:, :t_hp]
             gt_head_np = (np.asarray(batch["gt_head_pose"], np.float32)
                           if "gt_head_pose" in batch else np.asarray(gt_head))
             # min-trim for the stage-1 metrics, mirroring stage1_metrics's

@@ -27,10 +27,10 @@ from __future__ import annotations
 import numpy as np
 
 from egoego_release_tpu.rl.sim_rewards import get_heading  # noqa: F401 (re-export)
-from egoego_release_tpu.rl.uhc_obs import (
+from egoego_release_tpu.rl.uhc_obs import (  # noqa: F401 (re-exports)
     DEFAULT_OBS_SPECS,
     obs_v12_core,
-    # noqa: F401 (re-export for callers)
+    transform_vec_batch,
 )
 from egoego_release_tpu.rl.uhc_rewards import (
     _quat_inv,

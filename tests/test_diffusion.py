@@ -122,9 +122,16 @@ def test_p_sample_loop_microbatched_matches_per_chunk_runs():
     )
     assert out_ddim.shape == (bs, t, 198)
     np.testing.assert_allclose(np.asarray(out_ddim[:, :3]), 0.4, atol=1e-6)
-    # non-divisible batch falls back to the unchunked path
+    # non-divisible batch PADS up to a chunk multiple and slices back
+    # (ADVICE r3: it must not silently fall back to the full-batch path);
+    # rows in complete chunks are bit-identical to the divisible case, and
+    # the ragged tail chunk matches an unchunked run on its padded rows.
     out_odd = diff_mb.p_sample_loop(params, key, x_start[:5], cond_mask[:5])
     assert out_odd.shape == (5, t, 198)
+    np.testing.assert_array_equal(np.asarray(out_odd[:4]), np.asarray(out_mb[:4]))
+    pad_x = jnp.concatenate([x_start[4:5], x_start[4:5]], axis=0)
+    ref_tail = diff.p_sample_loop(params, keys[2], pad_x, cond_mask[:2])
+    np.testing.assert_array_equal(np.asarray(out_odd[4:5]), np.asarray(ref_tail[:1]))
 
 
 def test_remat_preserves_params_loss_and_grads():
