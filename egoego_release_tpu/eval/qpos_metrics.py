@@ -27,6 +27,31 @@ FS_H = 0.033
 FS_Z_THRESHOLD = 0.65
 
 
+def norm_qpos(qpos: np.ndarray) -> np.ndarray:
+    """Unit-normalize the root quaternion columns of a (T, 76) qpos record
+    (kinpoly/scripts/vis_mesh_gen.py:609-613) — the record prep its stats
+    driver applies to both pred and GT before `compute_metrics`."""
+    out = np.asarray(qpos, np.float64).copy()
+    out[:, 3:7] /= np.linalg.norm(out[:, 3:7], axis=1)[:, None]
+    return out
+
+
+def trans_to_velocity(root_trans: np.ndarray) -> np.ndarray:
+    """Root translation (T, 3) -> per-frame velocity (T-1, 3)
+    (vis_mesh_gen.py:615-618)."""
+    root_trans = np.asarray(root_trans)
+    return root_trans[1:] - root_trans[:-1]
+
+
+def velocity_to_trans(init_root_trans: np.ndarray,
+                      root_velocity: np.ndarray) -> np.ndarray:
+    """Integrate per-frame root velocities back to absolute translation
+    (vis_mesh_gen.py:620-633; the reference's python loop is a cumsum)."""
+    init = np.asarray(init_root_trans, np.float64)
+    vel = np.asarray(root_velocity, np.float64)
+    return np.concatenate([init[None], init[None] + np.cumsum(vel, axis=0)])
+
+
 def qvel_fd_heading(qpos: np.ndarray, dt: float) -> np.ndarray:
     """get_joint_vels (relive/utils/metrics.py:38-44): per-frame qvel with
     the linear part in the heading frame."""

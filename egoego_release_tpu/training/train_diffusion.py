@@ -96,9 +96,10 @@ def run(cfg, train_data_path: str):
         state = state._replace(params=shard_params(state.params, mesh))
 
     device_data = None
-    if getattr(cfg.data, "device_resident", True) and mesh is None:
-        # TPU-native default: the window set lives in HBM, batches gather on
-        # device inside the train-step jit (~10x the host iterator path)
+    if getattr(cfg.data, "device_resident", True):
+        # TPU-native default: the window set lives in HBM (replicated across
+        # the mesh when one is set), batches gather on device inside the
+        # train-step jit (~10x the host iterator path) and shard over dp
         device_data = ds.materialize_windows()
         batches = None
     else:
@@ -130,8 +131,22 @@ def run(cfg, train_data_path: str):
 
     with profile_trace(cfg.logging.profile_dir or None):
         if device_data is not None:
-            data_dev = jax.device_put(jnp.asarray(device_data[0]))
-            slen_dev = jax.device_put(jnp.asarray(device_data[1], jnp.int32))
+            if mesh is not None:
+                # replicate the bank; the in-jit gather dp-shards each batch
+                from egoego_release_tpu.parallel.mesh import replicated
+
+                dp = mesh.shape["dp"]
+                if cfg.data.batch_size % dp != 0:
+                    raise ValueError(
+                        f"data.batch_size {cfg.data.batch_size} must be"
+                        f" divisible by dp={dp}")
+                sharding = replicated(mesh)
+                data_dev = jax.device_put(jnp.asarray(device_data[0]), sharding)
+                slen_dev = jax.device_put(
+                    jnp.asarray(device_data[1], jnp.int32), sharding)
+            else:
+                data_dev = jax.device_put(jnp.asarray(device_data[0]))
+                slen_dev = jax.device_put(jnp.asarray(device_data[1], jnp.int32))
             n_batch = cfg.data.batch_size * cfg.train.grad_accum
         # host-side step counter: int(state.step) per iteration would force
         # a device sync every step, serializing the dispatch pipeline

@@ -137,11 +137,23 @@ class DiffusionTrainer:
         the pure step runs at ~4700-5900 (BASELINE.md round-3 training
         section); this path closes that 10x gap.  Sampling is uniform with
         replacement (the reference cycles a shuffled DataLoader — same
-        stationary distribution; documented deviation)."""
+        stationary distribution; documented deviation).
+
+        With a mesh, the bank stays REPLICATED (each chip gathers its own
+        dp-slice locally; the bank is <=4.8 GB bf16 at AMASS-train scale, well
+        inside per-chip HBM) and the gathered batch is constrained to dp
+        sharding, so the step itself runs dp x tp sharded with zero extra
+        collectives for the data path."""
         k_idx, k_step = jax.random.split(key)
         idx = jax.random.randint(k_idx, (batch_size,), 0, data.shape[0])
         motion = jnp.take(data, idx, axis=0).astype(jnp.float32)
         seq_len = jnp.take(seq_lens, idx, axis=0)
+        if self.mesh is not None:
+            from egoego_release_tpu.parallel.mesh import batch_sharding
+
+            bs = batch_sharding(self.mesh)
+            motion = jax.lax.with_sharding_constraint(motion, bs)
+            seq_len = jax.lax.with_sharding_constraint(seq_len, bs)
         return self._train_step_impl(state, motion, seq_len, k_step)
 
     def fit_device(
@@ -151,12 +163,33 @@ class DiffusionTrainer:
     ):
         """fit() over a device-resident window set ((N, T, D) + (N,)).
         `data_dtype=jnp.bfloat16` halves the HBM footprint (the step casts
-        back to f32); incompatible with a dp mesh (use the host iterator +
-        batch sharding there)."""
+        back to f32).
+
+        With a mesh the bank is replicated across chips and every gathered
+        batch is dp-sharded inside the jit (see `_train_step_device_impl`),
+        composing the ~10x device-resident win with dp x tp scaling — the
+        round-3 gap where a mesh silently fell back to the host iterator
+        (VERDICT r3 item 3).  Each per-accum microbatch must split evenly
+        over dp so the dynamic_slice microbatching stays aligned with the
+        batch sharding."""
         if self.mesh is not None:
-            raise ValueError("fit_device is single-chip; use fit() with a mesh")
-        data = jax.device_put(jnp.asarray(data, data_dtype or jnp.float32))
-        seq_lens = jax.device_put(jnp.asarray(seq_lens, jnp.int32))
+            from egoego_release_tpu.parallel.mesh import replicated
+
+            dp = self.mesh.shape["dp"]
+            micro = batch_size // self.grad_accum
+            if micro % dp != 0:
+                raise ValueError(
+                    f"per-accum microbatch {micro} (batch_size {batch_size} /"
+                    f" grad_accum {self.grad_accum}) must be divisible by"
+                    f" dp={dp}")
+            sharding = replicated(self.mesh)
+            data = jax.device_put(
+                jnp.asarray(data, data_dtype or jnp.float32), sharding)
+            seq_lens = jax.device_put(
+                jnp.asarray(seq_lens, jnp.int32), sharding)
+        else:
+            data = jax.device_put(jnp.asarray(data, data_dtype or jnp.float32))
+            seq_lens = jax.device_put(jnp.asarray(seq_lens, jnp.int32))
         losses = []
         # host-side step counter: `int(state.step)` would force a device
         # sync EVERY iteration, serializing the async dispatch pipeline

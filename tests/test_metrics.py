@@ -146,3 +146,33 @@ def test_qpos_metrics_identity():
     assert float(res["mpjpe"]) < 1e-3
     assert float(res["root_dist"]) < 1e-3
     assert float(res["accel_err"]) < 1e-3
+
+
+def test_qpos_record_prep_helpers_match_reference_loops():
+    """norm_qpos / trans_to_velocity / velocity_to_trans against literal
+    numpy re-statements of the reference's loops (vis_mesh_gen.py:609-633)."""
+    from egoego_release_tpu.eval.qpos_metrics import (
+        norm_qpos, trans_to_velocity, velocity_to_trans)
+
+    rng = np.random.RandomState(3)
+    qpos = rng.randn(7, 76)
+    got = norm_qpos(qpos)
+    want = qpos.copy()
+    want[:, 3:7] /= np.linalg.norm(want[:, 3:7], axis=1)[:, None]
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+    np.testing.assert_array_equal(got[:, 7:], qpos[:, 7:])  # only quat touched
+
+    trans = np.cumsum(rng.randn(9, 3), axis=0)
+    vel = trans_to_velocity(trans)
+    np.testing.assert_allclose(vel, trans[1:] - trans[:-1], rtol=1e-12)
+
+    # reference integration loop, verbatim semantics
+    init = trans[0]
+    absolute = np.zeros((9, 3))
+    absolute[0] = init
+    cur = init[np.newaxis].copy()
+    for t in range(1, 9):
+        cur = cur + vel[t - 1:t]
+        absolute[t] = cur
+    np.testing.assert_allclose(velocity_to_trans(init, vel), absolute, atol=1e-12)
+    np.testing.assert_allclose(velocity_to_trans(init, vel), trans, atol=1e-9)

@@ -124,3 +124,50 @@ def test_sharded_matches_unsharded():
     for a, b in zip(jax.tree.leaves(s_plain.params), jax.tree.leaves(s_mesh.params)):
         # sharded psum changes the fp reduction order; tolerance reflects that
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_fit_device_sharded_matches_unsharded(tmp_path):
+    """Device-resident training under a dp x tp mesh (replicated bank +
+    dp-sharded in-jit gather) must reproduce the single-device fit_device
+    trajectory exactly: same keys -> same sampled indices -> same updates.
+    Composes the two round-3 wins (device-resident data, mesh sharding)
+    that previously excluded each other (VERDICT r3 item 3)."""
+    diff = CondGaussianDiffusion(CFG)
+    rng = np.random.RandomState(11)
+    data = rng.uniform(-1, 1, (10, 12, 198)).astype(np.float32)
+    seq_lens = np.full((10,), 12, np.int32)
+
+    t_plain = DiffusionTrainer(diff, lr=1e-3)
+    s_plain, l_plain = t_plain.fit_device(
+        t_plain.init_state(jax.random.PRNGKey(0)), data, seq_lens,
+        num_steps=3, batch_size=8, key=jax.random.PRNGKey(9), log_every=1,
+    )
+
+    mesh = make_mesh(dp=4, tp=2)
+    t_mesh = DiffusionTrainer(diff, lr=1e-3, mesh=mesh)
+    s_mesh = t_mesh.init_state(jax.random.PRNGKey(0))
+    s_mesh = s_mesh._replace(params=shard_params(s_mesh.params, mesh))
+    with mesh:
+        s_mesh, l_mesh = t_mesh.fit_device(
+            s_mesh, data, seq_lens,
+            num_steps=3, batch_size=8, key=jax.random.PRNGKey(9), log_every=1,
+        )
+
+    assert int(s_plain.step) == 3 and int(s_mesh.step) == 3
+    np.testing.assert_allclose(l_plain, l_mesh, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s_plain.params), jax.tree.leaves(s_mesh.params)):
+        # tp psum changes the fp reduction order; tolerance reflects that
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_fit_device_mesh_rejects_indivisible_microbatch():
+    diff = CondGaussianDiffusion(CFG)
+    mesh = make_mesh(dp=4, tp=2)
+    trainer = DiffusionTrainer(diff, lr=1e-3, mesh=mesh)
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    data = np.zeros((4, 12, 198), np.float32)
+    import pytest
+
+    with pytest.raises(ValueError, match="divisible by dp"):
+        trainer.fit_device(state, data, np.full((4,), 12), num_steps=1,
+                           batch_size=4, key=jax.random.PRNGKey(0))
