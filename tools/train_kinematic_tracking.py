@@ -40,9 +40,11 @@ CFG = ("/root/reference/kinpoly/config/statear/"
        "baseline_kinpoly_of_only_on_syn_amass_v1.yml")
 
 
-def eval_tracking(env, agent, state, expert_rec, rest_offsets):
-    """Deterministic mean-action rollout from frame 0 over the whole
-    sequence; per-frame FK error vs the expert."""
+def eval_tracking(env, agent, state, expert_rec, rest_offsets, start=0):
+    """Deterministic mean-action rollout from frame `start` to the end of
+    the sequence; per-frame FK error vs the expert.  `start>0` rolls from
+    the expert's state at that frame (zero initial velocity, matching the
+    reference's cold-start rollout at a take boundary)."""
     from egoego_release_tpu.rl.env import EnvState
     from egoego_release_tpu.models.trajar import QVEL_DIM
 
@@ -69,26 +71,29 @@ def eval_tracking(env, agent, state, expert_rec, rest_offsets):
         return env_state, env_state.qpos
 
     init = EnvState(
-        qpos=qpos_e[0],
+        qpos=qpos_e[start],
         qvel=jnp.zeros((1, QVEL_DIM)),
-        t=jnp.zeros((1,), jnp.int32),
+        t=jnp.full((1,), start, jnp.int32),
         done=jnp.zeros((1,), bool),
     )
-    _, qpos_traj = jax.lax.scan(step_fn, init, None, length=t_total - 1)
-    qpos_traj = jnp.concatenate([qpos_e[:1], qpos_traj], axis=0)[:, 0]  # (T, 76)
+    _, qpos_traj = jax.lax.scan(step_fn, init, None, length=t_total - 1 - start)
+    qpos_traj = jnp.concatenate(
+        [qpos_e[start:start + 1], qpos_traj], axis=0)[:, 0]  # (T-start, 76)
 
     _, pred_jpos = env._body_pose(qpos_traj)
-    _, gt_jpos = env._body_pose(qpos_e[:, 0])
+    _, gt_jpos = env._body_pose(qpos_e[start:, 0])
     # root-centered MPJPE x1000 (eval_metrics_imu_rec.py:297-301 convention)
     pred_c = pred_jpos - pred_jpos[:, 0:1]
     gt_c = gt_jpos - gt_jpos[:, 0:1]
-    mpjpe = float(jnp.linalg.norm(pred_c - gt_c, axis=-1).mean() * 1000.0)
+    per_frame = jnp.linalg.norm(pred_c - gt_c, axis=-1).mean(axis=-1) * 1000.0
+    mpjpe = float(per_frame.mean())
     g_mpjpe = float(jnp.linalg.norm(pred_jpos - gt_jpos, axis=-1).mean() * 1000.0)
     head_dist = float(
         jnp.linalg.norm(pred_jpos[:, 15] - gt_jpos[:, 15], axis=-1).mean() * 1000.0
     )
     return {"mpjpe_mm": mpjpe, "global_mpjpe_mm": g_mpjpe,
-            "head_dist_mm": head_dist}
+            "head_dist_mm": head_dist,
+            "per_frame_mpjpe_mm": np.asarray(per_frame)}
 
 
 def bc_pretrain(env, agent, expert_rec, key, steps=2000, lr=1e-3):
@@ -199,6 +204,21 @@ def bc_pretrain(env, agent, expert_rec, key, steps=2000, lr=1e-3):
     return params, float(loss)
 
 
+def trim_record(rec: dict, n: int) -> dict:
+    """First-n-frames view of an expert record: arrays with leading dim T
+    slice to n, finite-difference arrays (leading dim T-1) to n-1."""
+    t = rec["qpos"].shape[0]
+    out = {}
+    for k, v in rec.items():
+        if isinstance(v, np.ndarray) and v.ndim >= 1 and v.shape[0] == t:
+            out[k] = v[:n]
+        elif isinstance(v, np.ndarray) and v.ndim >= 1 and v.shape[0] == t - 1:
+            out[k] = v[:n - 1]
+        else:
+            out[k] = v
+    return out
+
+
 def main():
     from egoego_release_tpu.preprocess.qpos import convert_motion_pickle
     from egoego_release_tpu.rl import train_agent as ta
@@ -207,6 +227,13 @@ def main():
     num_envs = int(os.environ.get("KIN_ENVS", "32"))
     seed = int(os.environ.get("KIN_SEED", "0"))
     bc_steps = int(os.environ.get("KIN_BC_STEPS", "2000"))
+    # KIN_HOLDOUT=n trains on frames [0, n) ONLY and reports the tracking
+    # error on the unseen span [n, T) two ways (VERDICT r3 item 4):
+    # continuation of the full-sequence rollout past the training boundary,
+    # and a cold-start rollout beginning AT the boundary (an unseen pseudo-
+    # take, the statear held-out-take protocol scaled to the single bundled
+    # sequence — statear_smpl_dataset.py:31 train/test take lists)
+    holdout = int(os.environ.get("KIN_HOLDOUT", "0"))
 
     rng = np.random.RandomState(0)
     rest = np.concatenate(
@@ -219,23 +246,31 @@ def main():
     import joblib
 
     expert_rec = list(joblib.load(expert_path).values())[0]
+    train_rec = expert_rec
+    if holdout > 0:
+        train_rec = trim_record(expert_rec, holdout)
+        train_path = "/tmp/_kin_expert_train.p"
+        joblib.dump({train_rec.get("seq_name", "take"): train_rec}, train_path)
+    else:
+        train_path = expert_path
     cfg = ta.KinpolyConfig(CFG)
     env, agent = ta.build_from_config(cfg, rest, num_envs)
 
     t0 = time.time()
     bc_params, bc_loss = bc_pretrain(
-        env, agent, expert_rec, jax.random.PRNGKey(seed), steps=bc_steps
+        env, agent, train_rec, jax.random.PRNGKey(seed), steps=bc_steps
     )
     bc_time = time.time() - t0
     bc_state = {"policy": bc_params}
     metrics_bc = eval_tracking(env, agent, bc_state, expert_rec, rest)
-    print(f"BC: {bc_steps} steps, loss {bc_loss:.6f}, "
-          f"tracking {metrics_bc}", flush=True)
+    print(f"BC: {bc_steps} steps, loss {bc_loss:.6f}, tracking "
+          f"{ {k: round(v, 2) for k, v in metrics_bc.items() if not isinstance(v, np.ndarray)} }",
+          flush=True)
 
     t0 = time.time()
     if iters > 0:
         out = ta.train(
-            CFG, expert_path, rest, iters=iters, num_envs=num_envs, seed=seed,
+            CFG, train_path, rest, iters=iters, num_envs=num_envs, seed=seed,
             log_every=max(iters // 10, 1), init_policy_params=bc_params,
         )
     else:
@@ -250,8 +285,11 @@ def main():
     state0 = agent.init_state(jax.random.PRNGKey(seed))
     metrics0 = eval_tracking(env, agent, state0, expert_rec, rest)
 
-    rewards = [h["reward_mean"] for h in out["history"]]
-    print(json.dumps({
+    def summarize(m):
+        return {k: round(v, 2) for k, v in m.items()
+                if not isinstance(v, np.ndarray)}
+
+    result = {
         "metric": "kinematic AR-policy expert tracking "
                   "(BC pretrain + PPO fine-tune, dynamic_supervision_v3, "
                   "demo sequence 140 frames)",
@@ -260,12 +298,28 @@ def main():
         "bc_steps": bc_steps,
         "bc_seconds": round(bc_time, 1),
         "train_seconds": round(train_time, 1),
-        "reward_first10": round(float(np.mean(rewards[:10])), 4),
-        "reward_last10": round(float(np.mean(rewards[-10:])), 4),
-        "tracking_bc": {k: round(v, 2) for k, v in metrics_bc.items()},
-        "tracking_final": {k: round(v, 2) for k, v in metrics.items()},
-        "tracking_untrained": {k: round(v, 2) for k, v in metrics0.items()},
-    }))
+        "tracking_bc": summarize(metrics_bc),
+        "tracking_final": summarize(metrics),
+        "tracking_untrained": summarize(metrics0),
+    }
+    rewards = [h["reward_mean"] for h in out["history"]]
+    result["reward_first10"] = round(float(np.mean(rewards[:10])), 4)
+    result["reward_last10"] = round(float(np.mean(rewards[-10:])), 4)
+
+    if holdout > 0:
+        pf = metrics["per_frame_mpjpe_mm"]
+        # held-out continuation: the full-rollout frames past the boundary
+        cold = eval_tracking(env, agent, out["state"], expert_rec, rest,
+                             start=holdout)
+        result["holdout"] = {
+            "train_frames": holdout,
+            "seen_span_mpjpe_mm": round(float(pf[:holdout].mean()), 2),
+            "unseen_tail_mpjpe_mm": round(float(pf[holdout:].mean()), 2),
+            "cold_start_unseen_mpjpe_mm": round(cold["mpjpe_mm"], 2),
+            "cold_start_unseen_global_mpjpe_mm":
+                round(cold["global_mpjpe_mm"], 2),
+        }
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
