@@ -85,6 +85,12 @@ class DiffusionConfig:
     # seqs/sec).  Inference-only; training and parity/golden tests stay on
     # the flax path.  Requires n_dec_layers >= 2.
     fused_step: bool = False
+    # With fused_step: store the INTER-LAYER activations (the only HBM
+    # round-trips left in a reverse step) in bf16 instead of f32 — halves
+    # that traffic; LN/softmax statistics and the scan carry / posterior
+    # update stay f32.  Measured effect on the canonical chain: BASELINE.md
+    # round-4 "VPU residual" note.  Off by default (parity stays f32/flax).
+    fused_step_act_bf16: bool = False
     # Large-batch cliff fix (BASELINE.md round-3): XLA's per-sample
     # throughput on the COMPOSED denoiser degrades ~45% from bs=64 to
     # bs=256 (isolated matmul/attention/FFN ops all scale fine — the
@@ -331,6 +337,7 @@ class CondGaussianDiffusion:
                 self, params, key, x_start, cond_mask, padding_mask,
                 inpaint_value, inpaint_mask,
                 interpret=jax.default_backend() == "cpu",
+                act_dtype=jnp.bfloat16 if self.cfg.fused_step_act_bf16 else None,
             )
         bs = x_start.shape[0]
         k_init, k_cond, k_loop = jax.random.split(key, 3)
@@ -393,6 +400,7 @@ class CondGaussianDiffusion:
                 self, params, key, x_start, cond_mask, padding_mask,
                 inpaint_value, inpaint_mask, ddim_steps=num_steps, eta=eta,
                 interpret=jax.default_backend() == "cpu",
+                act_dtype=jnp.bfloat16 if self.cfg.fused_step_act_bf16 else None,
             )
         bs = x_start.shape[0]
         c = self.consts

@@ -132,7 +132,7 @@ def _layer_kernel(
         wfc_ref[:], bfc_ref[:], ln1s_ref[:], ln1b_ref[:],
         w1_ref[:], b1_ref[:], w2_ref[:], b2_ref[:], ln2s_ref[:], ln2b_ref[:],
         n_head=n_head, d_k=d_k, d_v=d_v, t_real=t_real, scale=scale, cdt=cdt,
-    )
+    ).astype(o_ref.dtype)
 
 
 def layer_params_from_flax(layer: dict, dtype=jnp.bfloat16) -> dict:

@@ -154,7 +154,7 @@ def _stem_layer_kernel(
         wfc_ref[:], bfc_ref[:], ln1s_ref[:], ln1b_ref[:],
         w1_ref[:], b1_ref[:], w2_ref[:], b2_ref[:], ln2s_ref[:], ln2b_ref[:],
         n_head=n_head, d_k=d_k, d_v=d_v, t_real=t_tokens, scale=scale, cdt=cdt,
-    )
+    ).astype(o_ref.dtype)
 
 
 def _layer_epilogue_kernel(
@@ -216,7 +216,7 @@ def _layer_cost(bp, tp, dm, n_head, d_k, d_v):
 
 
 def _call_stem_layer(x, xc, emb, pos, mask_lanes, prep, *, n_head, d_k, d_v,
-                     t_tokens, bt, interpret, cdt):
+                     t_tokens, bt, interpret, cdt, adt=jnp.float32):
     bp, t_data, dp = x.shape
     tp, dm = pos.shape
     lp = prep["layers"][0]
@@ -239,7 +239,7 @@ def _call_stem_layer(x, xc, emb, pos, mask_lanes, prep, *, n_head, d_k, d_v,
             *_weight_specs(lp),
         ],
         out_specs=pl.BlockSpec((bt, tp, dm), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((bp, tp, dm), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bp, tp, dm), adt),
         interpret=interpret,
         cost_estimate=_layer_cost(bp, tp, dm, n_head, d_k, d_v),
     )(x, xc, emb, pos, mask_lanes,
@@ -248,7 +248,7 @@ def _call_stem_layer(x, xc, emb, pos, mask_lanes, prep, *, n_head, d_k, d_v,
 
 
 def _call_mid_layer(h, mask_lanes, lp, *, n_head, d_k, d_v, t_tokens, bt,
-                    interpret, cdt):
+                    interpret, cdt, adt=jnp.float32):
     bp, tp, dm = h.shape
     kernel = functools.partial(
         _layer_kernel, n_head=n_head, d_k=d_k, d_v=d_v,
@@ -263,7 +263,7 @@ def _call_mid_layer(h, mask_lanes, lp, *, n_head, d_k, d_v, t_tokens, bt,
             *_weight_specs(lp),
         ],
         out_specs=pl.BlockSpec((bt, tp, dm), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((bp, tp, dm), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bp, tp, dm), adt),
         interpret=interpret,
         cost_estimate=_layer_cost(bp, tp, dm, n_head, d_k, d_v),
     )(h, mask_lanes, *[lp[name] for name in _PARAM_ORDER])
@@ -311,16 +311,22 @@ def _call_epilogue_layer(h, mask_lanes, x, noise, scal, ipv, ipm, prep, *,
 
 def fused_denoise_step(x, xc, emb, pos, mask_lanes, noise, scal, ipv, ipm,
                        prep, *, n_head, d_k, d_v, t_tokens, bt, interpret,
-                       cdt):
+                       cdt, adt=jnp.float32):
     """One full reverse step on lane/batch-padded arrays:
     x/xc/noise (Bp, T, Dp) f32, emb (1, dm), pos (Tp, dm),
     mask_lanes (Bp*Tp, 128), scal (3,) f32 = (a1, a2, a3),
-    ipv/ipm (Bp, T, Dp) or None.  Returns x_next (Bp, T, Dp)."""
+    ipv/ipm (Bp, T, Dp) or None.  Returns x_next (Bp, T, Dp).
+
+    `adt` is the INTER-LAYER activation dtype: the (Bp, Tp, dm) tensors
+    handed between the n_dec_layers pallas_calls (the only HBM round-trips
+    left in a step).  bf16 halves that traffic; in-kernel LN/softmax stats
+    stay f32 regardless (the residual add promotes), and the scan carry /
+    posterior update stay f32 either way."""
     kw = dict(n_head=n_head, d_k=d_k, d_v=d_v, t_tokens=t_tokens, bt=bt,
               interpret=interpret, cdt=cdt)
-    h = _call_stem_layer(x, xc, emb, pos, mask_lanes, prep, **kw)
+    h = _call_stem_layer(x, xc, emb, pos, mask_lanes, prep, adt=adt, **kw)
     for lp in prep["layers"][1:-1]:
-        h = _call_mid_layer(h, mask_lanes, lp, **kw)
+        h = _call_mid_layer(h, mask_lanes, lp, adt=adt, **kw)
     return _call_epilogue_layer(h, mask_lanes, x, noise, scal, ipv, ipm,
                                 prep, **kw)
 
@@ -343,6 +349,7 @@ def fused_p_sample_loop(
     batch_tile: int = 4,
     interpret: bool = False,
     compute_dtype=None,
+    act_dtype=None,                      # inter-layer activation dtype (f32)
 ) -> Array:
     """Drop-in replacement for CondGaussianDiffusion.p_sample_loop /
     p_sample_loop_ddim built on fused_denoise_step.  Key-splitting structure
@@ -353,6 +360,8 @@ def fused_p_sample_loop(
         raise ValueError("fused step path needs n_dec_layers >= 2")
     if compute_dtype is None:
         compute_dtype = jnp.float32 if interpret else jnp.bfloat16
+    if act_dtype is None:
+        act_dtype = jnp.float32
     bs, t_data, d = x_start.shape
     t_tokens = t_data + 1
     # Frames pad to the f32 SUBLANE tile (8), not the lane tile (128):
@@ -402,7 +411,7 @@ def fused_p_sample_loop(
 
     step_kw = dict(n_head=cfg.n_head, d_k=cfg.d_k, d_v=cfg.d_v,
                    t_tokens=t_tokens, bt=bt, interpret=interpret,
-                   cdt=compute_dtype)
+                   cdt=compute_dtype, adt=act_dtype)
 
     def body(x, k, t, scal):
         k, sk = jax.random.split(k)

@@ -127,23 +127,25 @@ class PhysicsPPO:
                 "p_opt": self.p_opt.init(p), "v_opt": self.v_opt.init(v)}
 
     def collect(self, state, key, qpos0: np.ndarray, targets: np.ndarray,
-                horizon: int, sess=None):
+                horizon: int, sess=None, qvel0: np.ndarray | None = None):
         """One host rollout tracking a (T, 76) kinematic target sequence.
 
         The observation filter is applied as a per-iteration SNAPSHOT (the
         caller batch-updates it with the raw observations afterwards), so
-        concurrent rollouts see consistent normalization.
+        concurrent rollouts see consistent normalization.  qvel0 seeds the
+        initial joint velocities (the reference's expert-state resets —
+        humanoid_im.py reset_model uses expert qvel); default zeros.
         """
         sess = sess or self.sess
         zf = self.zfilter
-        sess.reset(qpos0)
+        sess.reset(qpos0, qvel0)
         if (sess.uhc_reward is not None or sess.sim_reward is not None
                 or self.obs_v is not None):
             # UHC/relive sim rewards and the UHC obs contract score against
             # the expert trajectory at the step's time index (copycat
             # get_expert_index) — the kinematic targets ARE the expert here
             sess.set_expert(np.asarray(targets))
-            sess.reset(qpos0)  # set_expert restores state, reset for clarity
+            sess.reset(qpos0, qvel0)  # set_expert restores state; re-seed
         raw_l, obs_l, act_l, logp_l, val_l, rew_l, done_l = [], [], [], [], [], [], []
         for t in range(horizon):
             ind = min(t, len(targets) - 1)
@@ -233,7 +235,7 @@ class PhysicsPPO:
         stepping releases the GIL, each worker gets its own env clone, and
         the policy/value/ZFilter are read-only snapshots during collection.
 
-        tasks: list of (qpos0, targets) tuples.
+        tasks: list of (qpos0, targets) or (qpos0, targets, qvel0) tuples.
         """
         import concurrent.futures as cf
 
@@ -242,9 +244,10 @@ class PhysicsPPO:
         key = keys[0]
 
         def roll(i):
-            qpos0, targets = tasks[i]
+            qpos0, targets, *rest = tasks[i]
             _, batch = self.collect(state, keys[i + 1], qpos0, targets,
-                                    horizon, sess=sessions[i])
+                                    horizon, sess=sessions[i],
+                                    qvel0=rest[0] if rest else None)
             return batch
 
         with cf.ThreadPoolExecutor(max_workers=num_threads) as ex:

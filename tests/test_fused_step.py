@@ -70,6 +70,28 @@ def test_fused_step_ragged_window_with_inpaint(setup):
     )
 
 
+def test_fused_step_act_bf16_close_to_f32(setup):
+    """bf16 inter-layer activations (fused_step_act_bf16): bounded drift vs
+    the f32 fused path — LN/softmax stats and the scan carry stay f32, so the
+    only error source is bf16 rounding of the (B, Tp, dm) tensors handed
+    between the per-layer kernels (~3 decimal digits; the per-step x0 clip
+    keeps it from compounding)."""
+    diff, fused, params = setup
+    bf16 = CondGaussianDiffusion(
+        dataclasses.replace(CFG, fused_step=True, fused_step_act_bf16=True)
+    )
+    x_start, cond_mask = _inputs(t=CFG.window)
+    key = jax.random.PRNGKey(8)
+    ref = fused.p_sample_loop(params, key, x_start, cond_mask)
+    out = bf16.p_sample_loop(params, key, x_start, cond_mask)
+    assert out.shape == ref.shape
+    drift = float(jnp.abs(out - ref).max())
+    assert drift < 0.08, f"bf16-act drift {drift} vs f32 fused path"
+    # and it still lands near the XLA loop end-to-end
+    xla = diff.p_sample_loop(params, key, x_start, cond_mask)
+    assert float(jnp.abs(out - xla).max()) < 0.08
+
+
 def test_fused_step_ddim_matches_xla_loop(setup):
     diff, fused, params = setup
     x_start, cond_mask = _inputs(t=CFG.window)

@@ -56,6 +56,8 @@ def main():
         fused_transformer=os.environ.get("E2E_FUSED", "0") == "1",
         # E2E_STEP=1: the fused denoise-STEP path (ops/fused_step.py)
         fused_step=os.environ.get("E2E_STEP", "0") == "1",
+        # E2E_ACT_BF16=1: bf16 inter-layer activations inside fused_step
+        fused_step_act_bf16=os.environ.get("E2E_ACT_BF16", "0") == "1",
         sample_microbatch=int(os.environ.get("E2E_MB", "0")),
     )
     if ddim:
