@@ -1,0 +1,225 @@
+"""Trained physics-control capability run (VERDICT r3 item 7).
+
+Round 3 quantified the OPEN-LOOP stable-PD baseline
+(tools/physics_tracking_check.py): joint-space pose control is tight while
+upright (10.5 mm root-centered MPJPE over the first 10 frames, 71.6 mm over
+30) but the unactuated root then diverges (final root height 0.17 m) —
+exactly the failure the reference's learned cc residual + implicit RFC
+exists to fix (copycat cc policies over humanoid_im.py:18 step semantics).
+
+This tool trains that residual with the existing PhysicsPPO stack
+(rl/train_physics_agent.py — host MuJoCo rollouts + jitted JAX updates, the
+reference's agent split) and scores it CLOSED-LOOP on the full demo take
+with the same protocol as the open-loop baseline, which is recomputed
+in-process for an apples-to-apples row.
+
+**Stated bar** (BASELINE.md round-4): the deterministic (mean-action)
+closed-loop rollout must BEAT open-loop stable-PD on BOTH
+  * first-30-frame root-centered MPJPE  (open-loop round-3: 71.6 mm), and
+  * frames upright (root height > 0.8 m) over the 139 control steps
+    (open-loop falls: final height 0.17 m).
+
+Training protocol (mirrors agent_ar/copycat):
+  * action = (ndof joint-residual + 6 implicit-RFC) on top of PD tracking
+    the expert's next frame (the reference's cc action space)
+  * near-zero-residual warm start: the policy mean head is scaled by 1e-2
+    at init so PPO starts AT the open-loop baseline and improves from it
+  * rollouts start at random expert frames with expert-state resets
+    (qpos_e[s], qvel_e[s] — humanoid_im.py reset_model), horizon-H windows;
+    the frame-0 window (the eval start) is always in the batch
+  * reward: world_rfc_implicit (the reward_id of both bundled UHC configs)
+
+  PHYS_ITERS=120 PHYS_ROLLOUTS=4 python tools/train_physics_controller.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+DEMO = "/root/reference/test_data/ares/demo_ares_data.p"
+XML = ("/root/reference/kinpoly/assets/mujoco_models/"
+       "humanoid_smpl_neutral_mesh.xml")
+UPRIGHT_Z = 0.8
+
+
+def scale_mean_head(params, factor=1e-2):
+    """Near-zero-residual warm start: scale the FINAL Dense (the mean head)
+    so the initial policy is ~open-loop PD (zero residual, zero RFC).  PPO
+    then only has to IMPROVE on a baseline that already tracks 71.6 mm/30f."""
+    import jax
+
+    p = jax.tree_util.tree_map(lambda x: x, params)  # fresh containers
+    head = p["params"]["fc"]  # GaussianPolicy mean head (rl/ppo.py)
+    head["kernel"] = head["kernel"] * factor
+    head["bias"] = head["bias"] * factor
+    return p
+
+
+def rollout_closed_loop(agent, state, qpos_e, qvel_e, ref_fk):
+    """Deterministic (mean-action) closed-loop rollout over the full take;
+    per-frame metrics vs the expert FK.  No termination — the capability
+    claim is the raw rollout (same as the open-loop baseline protocol)."""
+    import jax.numpy as jnp
+
+    sess = agent.sess
+    t_total = qpos_e.shape[0]
+    sess.set_expert(qpos_e)
+    sess.reset(qpos_e[0], qvel_e[0])
+    sim = []
+    for t in range(1, t_total):
+        target = qpos_e[t]
+        raw = agent.obs(target, sess, cur_t=t - 1)
+        from egoego_release_tpu.rl.trpo import ZFilter
+
+        o = ZFilter.apply(agent.zfilter, raw)
+        mean, _ = agent.policy.apply(state["policy"], jnp.asarray(o)[None])
+        sess.env.do_simulation(
+            np.asarray(mean[0], np.float64),
+            np.asarray(target[7:7 + sess.env.ndof], np.float64),
+        )
+        sim.append(sess.env.get_wbody_pos().reshape(-1, 3))
+    return score(np.asarray(sim), ref_fk)
+
+
+def rollout_open_loop(sess, qpos_e, qvel_e, ref_fk):
+    t_total = qpos_e.shape[0]
+    sess.reset(qpos_e[0], qvel_e[0])
+    zero = np.zeros(sess.env.action_dim)
+    sim = []
+    for t in range(1, t_total):
+        sess.env.do_simulation(zero, qpos_e[t][7:7 + sess.env.ndof])
+        sim.append(sess.env.get_wbody_pos().reshape(-1, 3))
+    return score(np.asarray(sim), ref_fk)
+
+
+def score(sim, ref):
+    """sim/ref: (T-1, nbody, 3) world body positions."""
+    simc = sim - sim[:, 0:1]
+    refc = ref - ref[:, 0:1]
+    per_frame = np.linalg.norm(simc - refc, axis=-1).mean(-1) * 1000
+    heights = sim[:, 0, 2]
+    return {
+        "first10_mpjpe_mm": round(float(per_frame[:10].mean()), 2),
+        "first30_mpjpe_mm": round(float(per_frame[:30].mean()), 2),
+        "full_mpjpe_mm": round(float(per_frame.mean()), 2),
+        "frames_upright": int((heights > UPRIGHT_Z).sum()),
+        "total_frames": int(heights.shape[0]),
+        "final_root_height_m": round(float(heights[-1]), 3),
+    }
+
+
+def fk_reference(env, qpos_e):
+    ref = []
+    for q in qpos_e[1:]:
+        env.data.qpos[: q.shape[0]] = q
+        env.data.qvel[:] = 0
+        env._mj.mj_kinematics(env.model, env.data)
+        ref.append(env.data.xpos[1:].copy())
+    return np.asarray(ref)
+
+
+def main():
+    import jax
+
+    # host physics + tiny MLP jits: CPU (axon round trips would dominate)
+    jax.config.update("jax_platforms", "cpu")
+
+    import joblib
+
+    from egoego_release_tpu.preprocess.qpos import convert_motion_pickle
+    from egoego_release_tpu.rl.imitation import PhysicsImitation
+    from egoego_release_tpu.rl.train_physics_agent import PhysicsPPO
+
+    iters = int(os.environ.get("PHYS_ITERS", "120"))
+    n_roll = int(os.environ.get("PHYS_ROLLOUTS", "4"))
+    horizon = int(os.environ.get("PHYS_HORIZON", "30"))
+    eval_every = int(os.environ.get("PHYS_EVAL_EVERY", "20"))
+    reward_id = os.environ.get("PHYS_REWARD", "world_rfc_implicit")
+    seed = int(os.environ.get("PHYS_SEED", "0"))
+
+    rng = np.random.RandomState(0)
+    rest = np.concatenate(
+        [np.zeros((1, 3)), rng.uniform(-0.2, 0.2, (21, 3))]
+    ).astype(np.float32)
+    expert_path = "/tmp/_phys_expert.p"
+    if not os.path.exists(expert_path):
+        convert_motion_pickle(DEMO, expert_path, rest)
+    rec = list(joblib.load(expert_path).values())[0]
+    qpos_e = np.asarray(rec["qpos"], np.float64)
+    # rec["qvel"][t] = finite-difference velocity qpos_t -> qpos_{t+1}
+    # (preprocess/qpos.py, get_expert convention) — the state velocity AT
+    # frame s for an expert-state reset
+    qvel_e = np.asarray(rec["qvel"], np.float64)
+    t_total = qpos_e.shape[0]
+
+    sess = PhysicsImitation(XML, reward_id=reward_id)
+    agent = PhysicsPPO(sess, hsize=(256, 128), policy_lr=5e-5,
+                       value_lr=3e-4, epochs=5)
+    ref_fk = fk_reference(sess.env, qpos_e)
+
+    key = jax.random.PRNGKey(seed)
+    key, k0 = jax.random.split(key)
+    state = agent.init_state(k0)
+    state = dict(state, policy=scale_mean_head(state["policy"]))
+
+    open_loop = rollout_open_loop(sess, qpos_e, qvel_e, ref_fk)
+    print(f"open-loop baseline: {open_loop}", flush=True)
+
+    sample_rng = np.random.RandomState(seed + 1)
+    best = None
+    best_state = state
+    history = []
+    t0 = time.time()
+    for it in range(iters):
+        starts = [0] + list(
+            sample_rng.randint(0, t_total - 1 - horizon, size=n_roll - 1)
+        )
+        tasks = [
+            (qpos_e[s], qpos_e[s + 1 : s + 1 + horizon],
+             qvel_e[min(s, qvel_e.shape[0] - 1)])
+            for s in starts
+        ]
+        state, key, m = agent.iterate_parallel(state, key, tasks, horizon,
+                                               num_threads=2)
+        history.append(m["reward_mean"])
+        if (it + 1) % eval_every == 0 or it == iters - 1:
+            ev = rollout_closed_loop(agent, state, qpos_e, qvel_e, ref_fk)
+            print(f"iter {it + 1}: reward {m['reward_mean']:.4f} "
+                  f"steps {m['total_steps']} eval {ev}", flush=True)
+            if best is None or (
+                (ev["frames_upright"], -ev["first30_mpjpe_mm"])
+                > (best["frames_upright"], -best["first30_mpjpe_mm"])
+            ):
+                best = ev
+                best_state = state
+    wall = time.time() - t0
+
+    final = rollout_closed_loop(agent, state, qpos_e, qvel_e, ref_fk)
+    result = {
+        "metric": "physics-controller closed-loop expert tracking "
+                  f"(PPO residual+RFC over stable-PD, {reward_id}, "
+                  f"demo take {t_total} frames)",
+        "iters": iters, "rollouts_per_iter": n_roll, "horizon": horizon,
+        "train_seconds": round(wall, 1),
+        "reward_first10": round(float(np.mean(history[:10])), 4),
+        "reward_last10": round(float(np.mean(history[-10:])), 4),
+        "open_loop": open_loop,
+        "closed_loop_final": final,
+        "closed_loop_best": best,
+        "bar": {
+            "first30_mpjpe_beats_open_loop":
+                best["first30_mpjpe_mm"] < open_loop["first30_mpjpe_mm"],
+            "upright_beats_open_loop":
+                best["frames_upright"] > open_loop["frames_upright"],
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
