@@ -271,13 +271,27 @@ def _eval_chain_dispatch(
     )
 
 
+def _chain_sync(chain_out):
+    """Block on a dispatched chain: ONE transfer of its predicted positions
+    (the pipelined driver separates this sync point from the host floor
+    clustering + metric dispatch so those can be scheduled around it)."""
+    _pred_jrot, pred_jpos_c, _gt_jrot_t, _gt_jpos_c = chain_out
+    return chain_out, np.asarray(pred_jpos_c)
+
+
 def _eval_metrics_dispatch(pipeline: EgoEgoPipeline, chain_out):
     """Synchronize on the chain's predicted positions (one transfer), run the
     per-sequence host-side floor clustering, and dispatch the flattened
     metric suite WITHOUT fetching it."""
+    return _eval_metrics_dispatch_synced(pipeline, _chain_sync(chain_out))
+
+
+def _eval_metrics_dispatch_synced(pipeline: EgoEgoPipeline, synced):
+    """Host floor clustering over already-fetched chain predictions, then
+    dispatch the flattened metric suite WITHOUT fetching it."""
+    chain_out, pred_np = synced
     pred_jrot, pred_jpos_c, gt_jrot_t, gt_jpos_c = chain_out
     n = pred_jpos_c.shape[0]
-    pred_np = np.asarray(pred_jpos_c)  # one transfer, then host-side slicing
     pred_floors = jnp.asarray([
         geometry.determine_floor_height_and_contacts(pred_np[s], 30)[0]
         for s in range(n)
@@ -471,15 +485,22 @@ def run_batches_pipelined(pipeline: EgoEgoPipeline, batches: list[dict], key,
     a list (per batch) of
     {"metrics": [N per-sequence metric dicts], "s1": (e, o, t) arrays | None}.
 
-    Single-TPU schedule: everything the flow needs from the device for batch
-    k's PRE-chain work (stage-1 nets, GT FK) is dispatched BEFORE the host
-    blocks on batch k-1's chain, so the per-sequence host floor clustering,
-    metric unflattening, and stage-1 input stacking all overlap the ~seconds
-    of device-bound diffusion.  The device queue is FIFO, so dispatch order
-    is the schedule: [chain k-1][gt_fk k][stage1 k][metrics k-1][chain k]...
-    Numerically identical to the sequential gt_from_smpl_params_batched +
-    stage1_head_pose_batched + evaluate_batch composition (same programs,
-    same keys); only the host/device interleaving changes."""
+    Single-TPU schedule (round-4, prefetch depth 2): batch k+1's small
+    device programs (GT decode/FK, stage-1 nets) are dispatched BEFORE
+    chain k, so on the FIFO device queue they execute ahead of it and every
+    piece of host work — GT floor clustering, stage-1 record stacking and
+    head-pose assembly, predicted-floor clustering, metric unflattening —
+    runs WHILE a chain executes on device.  Per iteration the queue is
+      [... chain k-1][snap k][s1-metrics k][gt_fk k+1][stage1 k+1]
+      [chain k][metrics k-1] ...
+    and the only host block is the chain k-1 sync itself.  Batch j's metric
+    suite is dispatched after chain j+1 and collected after chain j+1's
+    sync (one extra pipeline stage vs round-3; the host never waits on a
+    metric program).  Numerically identical to the sequential
+    gt_from_smpl_params_batched + stage1_head_pose_batched + evaluate_batch
+    composition (same programs, same keys; the GT head pose / floor-aligned
+    conditioning are rebuilt host-side from the SAME fetched f32 arrays with
+    the same IEEE subtract): tests/test_eval_pipeline.py."""
     n_b = len(batches)
     if n_b == 0:
         return []
@@ -492,8 +513,9 @@ def run_batches_pipelined(pipeline: EgoEgoPipeline, batches: list[dict], key,
         ))
 
     results: list = [None] * n_b
-    pending_chain = None   # (batch idx, n_seqs, chain device arrays, s1 device arrays)
-    pending_flat = None    # (batch idx, n_seqs, (flat metric device array, spec), s1 device arrays)
+    pending_chain = None   # (idx, n_seqs, chain device arrays, s1 device arrays)
+    pending_pred = None    # (idx, n_seqs, synced chain predictions, s1 ...)
+    pending_flat = None    # (idx, n_seqs, (flat metric device array, spec), s1 ...)
 
     def _collect(slot):
         j, n_seqs, flat, s1m = slot
@@ -513,7 +535,13 @@ def run_batches_pipelined(pipeline: EgoEgoPipeline, batches: list[dict], key,
 
         pipeline.extras["_qpos_decode"] = jax.jit(_qpos_decode)
 
-    for k, batch in enumerate(batches):
+    _ensure_gt_programs(pipeline)
+
+    def _prefetch(k):
+        """Dispatch batch k's small device programs.  Called before chain
+        k-1's dispatch, so they run ahead of it and their outputs are
+        fetchable while that chain executes."""
+        batch = batches[k]
         records = batch.get("records")
         if "gt_qpos" in batch:
             t_gt = np.asarray(batch["gt_qpos"]).shape[1]
@@ -525,26 +553,39 @@ def run_batches_pipelined(pipeline: EgoEgoPipeline, batches: list[dict], key,
             gt_trans = batch["gt_trans"]
             gt_root_orient = batch["gt_root_orient"]
             gt_body_pose = batch["gt_body_pose"]
-
-        # (1) dispatch this batch's small device programs; they queue behind
-        # batch k-1's chain, and their results are not touched until (3)
         gq_raw, gp_raw = _gt_fk_dispatch(
             pipeline, gt_trans, gt_root_orient, gt_body_pose,
         )
         s1_out = (pipeline.stage1_head_pose_batched(records)
                   if records is not None else None)
+        return {"batch": batch, "t_gt": t_gt, "gq": gq_raw, "gp": gp_raw,
+                "s1": s1_out}
 
-        # (2) synchronize on batch k-1's chain (the big block), run its host
-        # floor clustering, and dispatch its metric suite
-        if pending_chain is not None:
-            j, j_seqs, chain_out, s1m = pending_chain
-            pending_flat = (j, j_seqs,
-                            _eval_metrics_dispatch(pipeline, chain_out), s1m)
-            pending_chain = None
-
-        # (3) finalize this batch's pre-chain work (its device ops completed
-        # right after the chain we just waited on)
-        gq, gp, gt_head = _gt_snap_finalize(pipeline, gq_raw, gp_raw)
+    def _prechain_host(pf):
+        """Host finalize of a prefetched batch: GT floor clustering, snap
+        dispatch, stage-1 metric dispatch, chain-conditioning assembly.
+        Touches only programs dispatched before the PREVIOUS chain, so this
+        runs concurrently with that chain on the device."""
+        batch, t_gt = pf["batch"], pf["t_gt"]
+        gq_raw, gp_raw, s1_out = pf["gq"], pf["gp"], pf["s1"]
+        n = gp_raw.shape[0]
+        gp_np = np.asarray(gp_raw)
+        floors_np = np.asarray(
+            [geometry.determine_floor_height_and_contacts(gp_np[s], fps=30)[0]
+             for s in range(n)], np.float32,
+        )
+        gp, _gt_head_dev = pipeline.extras["_gt_snap"](
+            gq_raw, gp_raw, jnp.asarray(floors_np)
+        )
+        # host twin of _gt_snap's head pose: fetching _gt_head_dev would
+        # block behind the previous chain; the same f32 subtract on the
+        # already-fetched arrays is bitwise identical
+        gt_head_np = None
+        if s1_out is None or "gt_head_pose" not in batch:
+            gq_np = np.asarray(gq_raw)
+            head_p = gp_np[:, :, HEAD_IDX].copy()
+            head_p[:, :, 2] -= floors_np[:, None]
+            gt_head_np = np.concatenate([head_p, gq_np[:, :, HEAD_IDX]], -1)
         if s1_out is not None:
             # Trim the stage-1 head pose to min(qpos len, GT head-pose len)
             # when an explicit GT head pose is given — the per-sequence
@@ -555,12 +596,12 @@ def run_batches_pipelined(pipeline: EgoEgoPipeline, batches: list[dict], key,
             if "gt_head_pose" in batch:
                 t_hp = min(t_gt, np.asarray(batch["gt_head_pose"]).shape[1])
             hp = np.array(s1_out["head_pose"])[:, :t_hp]
-            gt_head_np = (np.asarray(batch["gt_head_pose"], np.float32)
-                          if "gt_head_pose" in batch else np.asarray(gt_head))
+            gt_head_cmp = (np.asarray(batch["gt_head_pose"], np.float32)
+                           if "gt_head_pose" in batch else gt_head_np)
             # min-trim for the stage-1 metrics, mirroring stage1_metrics's
             # per-sequence min() (stage-1 output / GT lengths may differ)
-            t_cmp = min(hp.shape[1], gt_head_np.shape[1])
-            pred, gt = hp[:, :t_cmp].copy(), gt_head_np[:, :t_cmp].copy()
+            t_cmp = min(hp.shape[1], gt_head_cmp.shape[1])
+            pred, gt = hp[:, :t_cmp].copy(), gt_head_cmp[:, :t_cmp].copy()
             pred[:, :, :2] -= pred[:, 0:1, :2]
             gt[:, :, :2] -= gt[:, 0:1, :2]
             s1m = pipeline.extras["_s1_metrics_batched"](
@@ -568,26 +609,53 @@ def run_batches_pipelined(pipeline: EgoEgoPipeline, batches: list[dict], key,
                 jnp.asarray(gt[:, :, :3]), jnp.asarray(gt[:, :, 3:]),
             )
             # floor-align predicted heads to the GT start (eval_egoego:334)
-            hp[:, :, :3] += np.asarray(gp[:, 0:1, HEAD_IDX]) - hp[:, 0:1, :3]
+            # — host twin of np.asarray(gp_snapped[:, 0:1, HEAD_IDX])
+            head0 = gp_np[:, 0:1, HEAD_IDX].copy()
+            head0[:, :, 2] -= floors_np[:, None]
+            hp[:, :, :3] += head0 - hp[:, 0:1, :3]
         else:
-            hp, s1m = np.asarray(gt_head), None
+            hp, s1m = gt_head_np, None
+        return {"hp": hp, "gq": gq_raw, "gp": gp, "s1m": s1m}
 
-        # (4) dispatch this batch's chain (seqs x best-of-sample_bs fan-in)
+    pf_next = _prefetch(0)
+    for k in range(n_b):
+        # (1) host-finalize batch k's pre-chain work; at k>0 this overlaps
+        # chain k-1 (its device inputs ran ahead of that chain)
+        prep = _prechain_host(pf_next)
+        # (2) dispatch batch k+1's small programs BEFORE chain k
+        pf_next = _prefetch(k + 1) if k + 1 < n_b else None
+        # (3) synchronize on chain k-1 (the one host block per iteration)
+        if pending_chain is not None:
+            j, j_seqs, chain_out, s1m = pending_chain
+            pending_pred = (j, j_seqs, _chain_sync(chain_out), s1m)
+            pending_chain = None
+        # (4) dispatch chain k as early as possible
+        hp, gq, gp = prep["hp"], prep["gq"], prep["gp"]
         n_seqs = hp.shape[0]
         if sample_bs > 1:
             hp, gq, gp = _tile_samples(hp, gq, gp, sample_bs)
         chain_out = _eval_chain_dispatch(pipeline, hp, gq, gp, keys[k])
-
-        # (5) batch k-1's metric array was dispatched BEFORE this chain, so
-        # collecting it does not wait on the chain
+        # (5) batch k-2's metric program ran right after chain k-1 —
+        # collect it, then run batch k-1's predicted-floor clustering and
+        # dispatch its metric suite (queues behind chain k; collected after
+        # chain k's sync) — all overlapping chain k
         if pending_flat is not None:
             _collect(pending_flat)
             pending_flat = None
-        pending_chain = (k, n_seqs, chain_out, s1m)
+        if pending_pred is not None:
+            j, j_seqs, synced, s1m = pending_pred
+            pending_flat = (
+                j, j_seqs, _eval_metrics_dispatch_synced(pipeline, synced), s1m
+            )
+            pending_pred = None
+        pending_chain = (k, n_seqs, chain_out, prep["s1m"])
 
-    # drain the tail
+    # drain: the last chain, then the two metric stages still in flight
     j, n_seqs, chain_out, s1m = pending_chain
-    _collect((j, n_seqs, _eval_metrics_dispatch(pipeline, chain_out), s1m))
+    synced = _chain_sync(chain_out)
+    if pending_flat is not None:
+        _collect(pending_flat)
+    _collect((j, n_seqs, _eval_metrics_dispatch_synced(pipeline, synced), s1m))
     return results
 
 
