@@ -30,7 +30,16 @@ Training protocol (mirrors agent_ar/copycat):
   * reward: world_rfc_implicit (the reward_id of both bundled UHC configs)
 
   PHYS_ITERS=120 PHYS_ROLLOUTS=4 python tools/train_physics_controller.py
-"""
+
+Round-4 addition — HORIZON CURRICULUM (PHYS_HORIZON_SCHEDULE, e.g.
+"30x100,60x100,90x50"): a flat 30-frame training horizon caps what the
+policy can learn about staying upright BEYOND 30 frames (every rollout
+resets to an expert state, so drifted long-horizon states are never in the
+training distribution — the round-4 150-iter run plateaued at 39/139
+upright frames).  The schedule lengthens rollout windows as the policy
+improves, the same idea as copycat's rollout-length ramping
+(copycat/khrylib/rl/agents/agent.py sample loop).  PHYS_SAVE=<path> dumps
+the best policy + zfilter as a numpy pickle for reuse."""
 
 import json
 import os
@@ -138,6 +147,16 @@ def main():
     iters = int(os.environ.get("PHYS_ITERS", "120"))
     n_roll = int(os.environ.get("PHYS_ROLLOUTS", "4"))
     horizon = int(os.environ.get("PHYS_HORIZON", "30"))
+    sched_spec = os.environ.get("PHYS_HORIZON_SCHEDULE", "")
+    if sched_spec:
+        schedule = []
+        for part in sched_spec.split(","):
+            h, n = part.split("x")
+            schedule += [int(h)] * int(n)
+        iters = len(schedule)
+    else:
+        schedule = [horizon] * iters
+    save_path = os.environ.get("PHYS_SAVE", "")
     eval_every = int(os.environ.get("PHYS_EVAL_EVERY", "20"))
     reward_id = os.environ.get("PHYS_REWARD", "world_rfc_implicit")
     seed = int(os.environ.get("PHYS_SEED", "0"))
@@ -176,6 +195,7 @@ def main():
     history = []
     t0 = time.time()
     for it in range(iters):
+        horizon = schedule[it]
         starts = [0] + list(
             sample_rng.randint(0, t_total - 1 - horizon, size=n_roll - 1)
         )
@@ -204,7 +224,8 @@ def main():
         "metric": "physics-controller closed-loop expert tracking "
                   f"(PPO residual+RFC over stable-PD, {reward_id}, "
                   f"demo take {t_total} frames)",
-        "iters": iters, "rollouts_per_iter": n_roll, "horizon": horizon,
+        "iters": iters, "rollouts_per_iter": n_roll,
+        "horizon": sched_spec if sched_spec else horizon,
         "train_seconds": round(wall, 1),
         "reward_first10": round(float(np.mean(history[:10])), 4),
         "reward_last10": round(float(np.mean(history[-10:])), 4),
@@ -218,6 +239,15 @@ def main():
                 best["frames_upright"] > open_loop["frames_upright"],
         },
     }
+    if save_path:
+        import pickle
+
+        to_np = lambda t: jax.tree_util.tree_map(np.asarray, t)  # noqa: E731
+        with open(save_path, "wb") as f:
+            pickle.dump({"policy": to_np(best_state["policy"]),
+                         "value": to_np(best_state["value"]),
+                         "zfilter": to_np(agent.zfilter)}, f)
+
     print(json.dumps(result))
 
 
