@@ -22,7 +22,17 @@ Prints a JSON line; record the result in BASELINE.md.
 
   python tools/train_kinematic_tracking.py                # 400 iters
   KIN_ITERS=50 KIN_ENVS=8 python tools/train_kinematic_tracking.py
-"""
+
+Round-4 addition — CROSS-TAKE mode (KIN_CROSS_TAKE=1): the statear
+protocol holds out whole TAKES, not spans
+(kinpoly/relive/data_loaders/statear_smpl_dataset.py:31 train/test take
+lists).  The bundle carries two real motions: the demo take (140 frames,
+locomotion) and kinpoly/sample_data/standing_neutral.pkl (187 frames,
+gentle standing sway; no root translation in the pickle, so the rest
+qpos's root position is held constant when building its expert record).
+Cross-take mode trains on one take and cold-start-evaluates on the OTHER
+(both directions), the genuine generalization number the within-take
+holdout (KIN_HOLDOUT) cannot give."""
 
 import json
 import os
@@ -36,8 +46,29 @@ import jax
 import jax.numpy as jnp
 
 DEMO = "/root/reference/test_data/ares/demo_ares_data.p"
+NEUTRAL = "/root/reference/kinpoly/sample_data/standing_neutral.pkl"
 CFG = ("/root/reference/kinpoly/config/statear/"
        "baseline_kinpoly_of_only_on_syn_amass_v1.yml")
+
+
+def neutral_expert_record(rest_offsets):
+    """kinpoly's bundled standing_neutral.pkl (pose_aa (T, 72) SMPL local
+    axis-angle + one rest qpos; the reset pose asset of
+    kinpoly/relive/envs/humanoid_ar_v1.py) -> expert record through the same
+    motion_to_expert codec as the demo take.  The pickle has no root
+    translation track, so the rest qpos's root position is held constant;
+    the take's content is joint-space motion (gentle standing sway)."""
+    import joblib
+
+    from egoego_release_tpu.preprocess.qpos import motion_to_expert
+
+    d = joblib.load(NEUTRAL)
+    pose_aa22 = np.asarray(d["pose_aa"], np.float32).reshape(-1, 24, 3)[:, :22]
+    trans = np.tile(np.asarray(d["qpos"][:3], np.float32),
+                    (pose_aa22.shape[0], 1))
+    rec = motion_to_expert(trans, pose_aa22, np.asarray(rest_offsets))
+    rec["seq_name"] = "standing_neutral"
+    return rec
 
 
 def eval_tracking(env, agent, state, expert_rec, rest_offsets, start=0):
@@ -234,6 +265,7 @@ def main():
     # take, the statear held-out-take protocol scaled to the single bundled
     # sequence — statear_smpl_dataset.py:31 train/test take lists)
     holdout = int(os.environ.get("KIN_HOLDOUT", "0"))
+    cross_take = os.environ.get("KIN_CROSS_TAKE", "") == "1"
 
     rng = np.random.RandomState(0)
     rest = np.concatenate(
@@ -246,6 +278,46 @@ def main():
     import joblib
 
     expert_rec = list(joblib.load(expert_path).values())[0]
+
+    if cross_take:
+        cfg = ta.KinpolyConfig(CFG)
+        env, agent = ta.build_from_config(cfg, rest, num_envs)
+        takes = {"demo": expert_rec, "standing_neutral": neutral_expert_record(rest)}
+        state0 = agent.init_state(jax.random.PRNGKey(seed))
+        directions = {}
+        for train_name, test_name in (("demo", "standing_neutral"),
+                                      ("standing_neutral", "demo")):
+            t0 = time.time()
+            params, bc_loss = bc_pretrain(
+                env, agent, takes[train_name], jax.random.PRNGKey(seed),
+                steps=bc_steps,
+            )
+            st = {"policy": params}
+            seen = eval_tracking(env, agent, st, takes[train_name], rest)
+            held = eval_tracking(env, agent, st, takes[test_name], rest)
+            held0 = eval_tracking(env, agent, state0, takes[test_name], rest)
+            directions[f"{train_name}->{test_name}"] = {
+                "bc_seconds": round(time.time() - t0, 1),
+                "bc_loss": round(bc_loss, 6),
+                "seen_take_mpjpe_mm": round(seen["mpjpe_mm"], 2),
+                "heldout_take_mpjpe_mm": round(held["mpjpe_mm"], 2),
+                "heldout_take_global_mpjpe_mm":
+                    round(held["global_mpjpe_mm"], 2),
+                "heldout_take_untrained_mpjpe_mm":
+                    round(held0["mpjpe_mm"], 2),
+            }
+            print(f"{train_name}->{test_name}: "
+                  f"{directions[f'{train_name}->{test_name}']}", flush=True)
+        print(json.dumps({
+            "metric": "kinematic AR-policy CROSS-TAKE tracking (BC closed-"
+                      "loop train on one take, cold-start eval on the "
+                      "other; statear held-out-take protocol)",
+            "bc_steps": bc_steps,
+            "take_frames": {k: int(v["qpos"].shape[0])
+                            for k, v in takes.items()},
+            "directions": directions,
+        }))
+        return
     train_rec = expert_rec
     if holdout > 0:
         train_rec = trim_record(expert_rec, holdout)
