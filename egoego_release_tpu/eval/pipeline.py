@@ -458,15 +458,22 @@ def _gt_fk_dispatch(pipeline: EgoEgoPipeline, trans, root_orient, body_pose):
     )
 
 
+def _floor_heights(gp_np: np.ndarray) -> np.ndarray:
+    """Per-sequence GT floor height, (N,) float32, via the contact-clustering
+    estimator at the eval flow's fps=30.  The single shared implementation
+    for the sequential AND pipelined paths — their outputs are compared
+    bitwise by tests/test_eval_pipeline.py, so the clustering must never
+    diverge between them."""
+    return np.asarray(
+        [geometry.determine_floor_height_and_contacts(g, fps=30)[0]
+         for g in gp_np], np.float32,
+    )
+
+
 def _gt_snap_finalize(pipeline: EgoEgoPipeline, gq, gp):
     """Fetch GT positions (one transfer), per-sequence host floor clustering,
     dispatch the snap program.  Returns (gq, gp_snapped, head_pose)."""
-    n = gp.shape[0]
-    gp_np = np.asarray(gp)
-    floors = jnp.asarray(
-        [geometry.determine_floor_height_and_contacts(gp_np[s], fps=30)[0]
-         for s in range(n)], dtype=jnp.float32,
-    )
+    floors = jnp.asarray(_floor_heights(np.asarray(gp)))
     gp, head_pose = pipeline.extras["_gt_snap"](gq, gp, floors)
     return gq, gp, head_pose
 
@@ -568,12 +575,8 @@ def run_batches_pipelined(pipeline: EgoEgoPipeline, batches: list[dict], key,
         runs concurrently with that chain on the device."""
         batch, t_gt = pf["batch"], pf["t_gt"]
         gq_raw, gp_raw, s1_out = pf["gq"], pf["gp"], pf["s1"]
-        n = gp_raw.shape[0]
         gp_np = np.asarray(gp_raw)
-        floors_np = np.asarray(
-            [geometry.determine_floor_height_and_contacts(gp_np[s], fps=30)[0]
-             for s in range(n)], np.float32,
-        )
+        floors_np = _floor_heights(gp_np)
         gp, _gt_head_dev = pipeline.extras["_gt_snap"](
             gq_raw, gp_raw, jnp.asarray(floors_np)
         )

@@ -67,11 +67,13 @@ def probe_backend_device_count(timeout: float = PROBE_TIMEOUT_S) -> int:
     # round-4 observation (sick relay live) — jax.devices() can RETURN in
     # this mode while the first actual dispatch hangs forever, so an
     # enumeration-only probe passes and the caller then hangs anyway.
+    # The dispatch result gates the PRINT (not an assert: the child inherits
+    # the caller's env, and PYTHONOPTIMIZE would strip an assert, silently
+    # degrading the probe back to enumeration-only).
     probe_src = (
         "import jax, jax.numpy as jnp; "
         "n = len(jax.devices()); "
-        "assert int(jnp.arange(4).sum()) == 6; "
-        "print(n)"
+        "print(n if int(jnp.arange(4).sum()) == 6 else 0)"
     )
     try:
         res = subprocess.run(

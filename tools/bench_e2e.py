@@ -12,6 +12,7 @@ DDPM-1000 at the full release model dims.  Prints one JSON line.
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -21,22 +22,41 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+_CHILD_ENV_MARK = "_EGOEGO_BENCH_E2E_CHILD"
 
 
-def _check_axon_tunnel():
-    """Fail fast when the axon backend is unusable — relay dead (TCP) OR
-    listening-but-sick (watchdogged subprocess probe of jax.devices();
-    clients hang forever at 0% CPU otherwise — see
-    egoego_release_tpu/utils/tunnel.py)."""
-    from egoego_release_tpu.utils.tunnel import check_axon_backend
+def _watchdogged_main():
+    """bench.py pattern: fast TCP relay check, then the WHOLE bench in a
+    child under a hard timeout.  One backend init total — a pre-flight
+    check_axon_backend() probe would pay a second full ~20-60 s axon init
+    before every healthy run — while the watchdog still catches the
+    listening-but-sick relay mode (child hangs at 0% CPU; parent kills it
+    and fails fast instead of hanging forever)."""
+    from egoego_release_tpu.utils.tunnel import check_axon_tunnel
 
-    err = check_axon_backend()
+    err = check_axon_tunnel()
     if err is not None:
         raise SystemExit(err)
+    timeout_s = float(os.environ.get("E2E_TIMEOUT", "900"))
+    env = dict(os.environ)
+    env[_CHILD_ENV_MARK] = "1"
+    try:
+        res = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        raise SystemExit(
+            f"bench subprocess exceeded the {timeout_s:.0f}s watchdog "
+            "(axon relay listening-but-sick hang mode)"
+        )
+    sys.stderr.write(res.stderr)
+    sys.stdout.write(res.stdout)
+    if res.returncode != 0:
+        raise SystemExit(res.returncode)
 
 
 def main():
-    _check_axon_tunnel()
     jax.config.update("jax_default_prng_impl", "rbg")  # see bench.py
 
     from egoego_release_tpu.diffusion import CondGaussianDiffusion, DiffusionConfig
@@ -106,4 +126,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get(_CHILD_ENV_MARK) == "1":
+        main()
+    else:
+        _watchdogged_main()

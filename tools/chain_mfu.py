@@ -29,8 +29,6 @@ import os
 import subprocess
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
 V5E_BF16_PEAK_TFLOPS = 197.0
 
 

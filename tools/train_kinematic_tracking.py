@@ -280,6 +280,10 @@ def main():
     expert_rec = list(joblib.load(expert_path).values())[0]
 
     if cross_take:
+        if "KIN_ITERS" in os.environ or holdout:
+            print("KIN_CROSS_TAKE=1 is BC-only (the convergence recipe: "
+                  "PPO is net harmful on top of converged BC — BASELINE.md)"
+                  "; ignoring KIN_ITERS/KIN_HOLDOUT", flush=True)
         cfg = ta.KinpolyConfig(CFG)
         env, agent = ta.build_from_config(cfg, rest, num_envs)
         takes = {"demo": expert_rec, "standing_neutral": neutral_expert_record(rest)}

@@ -192,12 +192,17 @@ def main():
     sample_rng = np.random.RandomState(seed + 1)
     best = None
     best_state = state
+    best_zfilter = jax.tree_util.tree_map(np.asarray, agent.zfilter)
     history = []
     t0 = time.time()
     for it in range(iters):
-        horizon = schedule[it]
+        # a horizon >= the take length trains on the (clamped) full take;
+        # collect() already handles short target windows, so only the
+        # start-sampling range needs the guard
+        horizon = min(schedule[it], t_total - 1)
         starts = [0] + list(
-            sample_rng.randint(0, t_total - 1 - horizon, size=n_roll - 1)
+            sample_rng.randint(0, max(t_total - 1 - horizon, 1),
+                               size=n_roll - 1)
         )
         tasks = [
             (qpos_e[s], qpos_e[s + 1 : s + 1 + horizon],
@@ -217,9 +222,18 @@ def main():
             ):
                 best = ev
                 best_state = state
+                # snapshot the obs filter WITH the policy: zfilter keeps
+                # Welford-updating after this iter, and a policy replayed
+                # under a later filter sees differently-normalized obs
+                best_zfilter = jax.tree_util.tree_map(
+                    np.asarray, agent.zfilter)
     wall = time.time() - t0
 
     final = rollout_closed_loop(agent, state, qpos_e, qvel_e, ref_fk)
+    if best is None:
+        # PHYS_ITERS=0: eval-only mode (the untrained residual closed-loop;
+        # the open-loop row above is the zero-residual baseline)
+        best = final
     result = {
         "metric": "physics-controller closed-loop expert tracking "
                   f"(PPO residual+RFC over stable-PD, {reward_id}, "
@@ -227,8 +241,10 @@ def main():
         "iters": iters, "rollouts_per_iter": n_roll,
         "horizon": sched_spec if sched_spec else horizon,
         "train_seconds": round(wall, 1),
-        "reward_first10": round(float(np.mean(history[:10])), 4),
-        "reward_last10": round(float(np.mean(history[-10:])), 4),
+        "reward_first10":
+            round(float(np.mean(history[:10])), 4) if history else None,
+        "reward_last10":
+            round(float(np.mean(history[-10:])), 4) if history else None,
         "open_loop": open_loop,
         "closed_loop_final": final,
         "closed_loop_best": best,
@@ -246,7 +262,7 @@ def main():
         with open(save_path, "wb") as f:
             pickle.dump({"policy": to_np(best_state["policy"]),
                          "value": to_np(best_state["value"]),
-                         "zfilter": to_np(agent.zfilter)}, f)
+                         "zfilter": best_zfilter}, f)
 
     print(json.dumps(result))
 
