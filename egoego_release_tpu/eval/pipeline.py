@@ -26,6 +26,7 @@ from egoego_release_tpu.models.gravitynet import (
 )
 from egoego_release_tpu.models.headnet import HeadFormer, headformer_forward_for_eval
 from egoego_release_tpu.ops import fk as fk_mod
+from egoego_release_tpu.ops import floor as floor_mod
 from egoego_release_tpu.ops import geometry
 from egoego_release_tpu.ops import rotations as rot
 
@@ -271,31 +272,14 @@ def _eval_chain_dispatch(
     )
 
 
-def _chain_sync(chain_out):
-    """Block on a dispatched chain: ONE transfer of its predicted positions
-    (the pipelined driver separates this sync point from the host floor
-    clustering + metric dispatch so those can be scheduled around it)."""
-    _pred_jrot, pred_jpos_c, _gt_jrot_t, _gt_jpos_c = chain_out
-    return chain_out, np.asarray(pred_jpos_c)
-
-
 def _eval_metrics_dispatch(pipeline: EgoEgoPipeline, chain_out):
-    """Synchronize on the chain's predicted positions (one transfer), run the
-    per-sequence host-side floor clustering, and dispatch the flattened
-    metric suite WITHOUT fetching it."""
-    return _eval_metrics_dispatch_synced(pipeline, _chain_sync(chain_out))
-
-
-def _eval_metrics_dispatch_synced(pipeline: EgoEgoPipeline, synced):
-    """Host floor clustering over already-fetched chain predictions, then
-    dispatch the flattened metric suite WITHOUT fetching it."""
-    chain_out, pred_np = synced
+    """Dispatch the flattened metric suite directly behind the chain WITHOUT
+    fetching anything: the per-sequence predicted-floor clustering runs
+    INSIDE the program (ops/floor.py), so the chain's (N, T, 22, 3)
+    predictions never cross the tunnel and no host sync separates the chain
+    from its metrics (round-4 host-work reduction; the host path previously
+    fetched every prediction purely to cluster toe heights)."""
     pred_jrot, pred_jpos_c, gt_jrot_t, gt_jpos_c = chain_out
-    n = pred_jpos_c.shape[0]
-    pred_floors = jnp.asarray([
-        geometry.determine_floor_height_and_contacts(pred_np[s], 30)[0]
-        for s in range(n)
-    ], dtype=jnp.float32)
 
     # The whole metric suite as ONE jitted program returning ONE flattened
     # (N, K) array: unjitted, the vmapped suite dispatched every op eagerly
@@ -311,7 +295,8 @@ def _eval_metrics_dispatch_synced(pipeline: EgoEgoPipeline, synced):
     if shape_key not in cache:
         spec: list = []
 
-        def _metrics_flat(gt_jrot, gt_jpos_c, pred_jrot, pred_jpos_c, floors):
+        def _metrics_flat(gt_jrot, gt_jpos_c, pred_jrot, pred_jpos_c):
+            floors = floor_mod.floor_heights(pred_jpos_c)
             md = metrics_mod.batched_metrics_for_smpl(
                 gt_jrot, gt_jpos_c, jnp.zeros_like(floors),
                 pred_jrot, pred_jpos_c, floors,
@@ -326,7 +311,7 @@ def _eval_metrics_dispatch_synced(pipeline: EgoEgoPipeline, synced):
 
         cache[shape_key] = (jax.jit(_metrics_flat), spec)
     metrics_fn, spec = cache[shape_key]
-    flat = metrics_fn(gt_jrot_t, gt_jpos_c, pred_jrot, pred_jpos_c, pred_floors)
+    flat = metrics_fn(gt_jrot_t, gt_jpos_c, pred_jrot, pred_jpos_c)
     return flat, spec
 
 
@@ -412,12 +397,23 @@ def gt_from_smpl_params(pipeline: EgoEgoPipeline, trans, root_orient, body_pose)
 
 
 def _ensure_gt_programs(pipeline: EgoEgoPipeline):
-    """Install the jitted _gt_fk/_gt_snap programs (eager, the FK scan +
-    reshapes dispatched per-op through the tunnel)."""
-    if "_gt_fk" in pipeline.extras:
+    """Install the fused GT-prep programs: SMPL params (or kinpoly qpos) ->
+    FK -> per-sequence floor clustering (ops/floor.py, on device) -> floor
+    snap -> GT head pose, as ONE jitted dispatch per batch.  Round-3 ran FK,
+    a (N,T,22,3) fetch, HOST clustering, a floors upload, and a snap
+    dispatch — five tunnel round trips where one suffices."""
+    if "_gt_prep" in pipeline.extras:
         return
 
-    def _gt_fk(trans, root_orient, body_pose, rest):
+    def _finish(gq, gp):
+        floors = floor_mod.floor_heights(gp)
+        gp = gp - floors[:, None, None, None] * jnp.asarray([0.0, 0.0, 1.0])
+        head_pose = jnp.concatenate(
+            [gp[:, :, HEAD_IDX], gq[:, :, HEAD_IDX]], axis=-1
+        )
+        return gq, gp, head_pose
+
+    def _gt_prep(trans, root_orient, body_pose, rest):
         n, t = trans.shape[:2]
         local_aa = jnp.concatenate(
             [root_orient[:, :, None, :], body_pose.reshape(n, t, 21, 3)],
@@ -426,56 +422,32 @@ def _ensure_gt_programs(pipeline: EgoEgoPipeline):
         gq, gp = fk_mod.fk_smpl(
             trans.reshape(n * t, 3), local_aa.reshape(n * t, 22, 3), rest
         )
-        return gq.reshape(n, t, 22, 4), gp.reshape(n, t, 22, 3)
+        return _finish(gq.reshape(n, t, 22, 4), gp.reshape(n, t, 22, 3))
 
-    def _gt_snap(gq, gp, floors):
-        gp = gp - floors[:, None, None, None] * jnp.asarray([0.0, 0.0, 1.0])
-        head_pose = jnp.concatenate(
-            [gp[:, :, HEAD_IDX], gq[:, :, HEAD_IDX]], axis=-1
+    def _gt_prep_qpos(qpos, rest):
+        trans, aa24 = jax.vmap(geometry.qpos_to_smpl)(qpos)
+        n, t = qpos.shape[:2]
+        return _gt_prep(
+            trans, aa24[:, :, 0], aa24[:, :, 1:22].reshape(n, t, 63), rest
         )
-        return gp, head_pose
 
-    pipeline.extras["_gt_fk"] = jax.jit(_gt_fk)
-    pipeline.extras["_gt_snap"] = jax.jit(_gt_snap)
+    pipeline.extras["_gt_prep"] = jax.jit(_gt_prep)
+    pipeline.extras["_gt_prep_qpos"] = jax.jit(_gt_prep_qpos)
 
 
 def gt_from_smpl_params_batched(pipeline: EgoEgoPipeline, trans, root_orient,
                                 body_pose):
     """Batched GT prep: (N, T, ...) params -> (jrot (N,T,22,4), jpos
-    (N,T,22,3), head_pose (N,T,7)) with ONE FK dispatch and ONE device->host
-    transfer for the per-sequence host-side floor clustering (per-sequence
-    calls cost a tunnel round trip each on the real chip)."""
-    gq, gp = _gt_fk_dispatch(pipeline, trans, root_orient, body_pose)
-    return _gt_snap_finalize(pipeline, gq, gp)
+    (N,T,22,3), head_pose (N,T,7)) as one device program — no transfers.
 
-
-def _gt_fk_dispatch(pipeline: EgoEgoPipeline, trans, root_orient, body_pose):
-    """Dispatch the batched GT FK without synchronizing (pipelined driver)."""
+    Deviation note: the floor clustering runs on device (ops/floor.py
+    docstring); the per-sequence `gt_from_smpl_params` keeps the
+    reference-exact host/sklearn path."""
     _ensure_gt_programs(pipeline)
-    return pipeline.extras["_gt_fk"](
+    return pipeline.extras["_gt_prep"](
         jnp.asarray(trans), jnp.asarray(root_orient), jnp.asarray(body_pose),
         pipeline.rest_offsets,
     )
-
-
-def _floor_heights(gp_np: np.ndarray) -> np.ndarray:
-    """Per-sequence GT floor height, (N,) float32, via the contact-clustering
-    estimator at the eval flow's fps=30.  The single shared implementation
-    for the sequential AND pipelined paths — their outputs are compared
-    bitwise by tests/test_eval_pipeline.py, so the clustering must never
-    diverge between them."""
-    return np.asarray(
-        [geometry.determine_floor_height_and_contacts(g, fps=30)[0]
-         for g in gp_np], np.float32,
-    )
-
-
-def _gt_snap_finalize(pipeline: EgoEgoPipeline, gq, gp):
-    """Fetch GT positions (one transfer), per-sequence host floor clustering,
-    dispatch the snap program.  Returns (gq, gp_snapped, head_pose)."""
-    floors = jnp.asarray(_floor_heights(np.asarray(gp)))
-    gp, head_pose = pipeline.extras["_gt_snap"](gq, gp, floors)
-    return gq, gp, head_pose
 
 
 def run_batches_pipelined(pipeline: EgoEgoPipeline, batches: list[dict], key,
@@ -492,55 +464,51 @@ def run_batches_pipelined(pipeline: EgoEgoPipeline, batches: list[dict], key,
     a list (per batch) of
     {"metrics": [N per-sequence metric dicts], "s1": (e, o, t) arrays | None}.
 
-    Single-TPU schedule (round-4, prefetch depth 2): batch k+1's small
-    device programs (GT decode/FK, stage-1 nets) are dispatched BEFORE
-    chain k, so on the FIFO device queue they execute ahead of it and every
-    piece of host work — GT floor clustering, stage-1 record stacking and
-    head-pose assembly, predicted-floor clustering, metric unflattening —
-    runs WHILE a chain executes on device.  Per iteration the queue is
-      [... chain k-1][snap k][s1-metrics k][gt_fk k+1][stage1 k+1]
-      [chain k][metrics k-1] ...
-    and the only host block is the chain k-1 sync itself.  Batch j's metric
-    suite is dispatched after chain j+1 and collected after chain j+1's
-    sync (one extra pipeline stage vs round-3; the host never waits on a
-    metric program).  Numerically identical to the sequential
+    Single-TPU schedule (round-4, device-resident floors): batch k+1's
+    small device programs (fused GT prep incl. floor clustering + snap,
+    stage-1 nets) are dispatched BEFORE chain k, so on the FIFO device
+    queue they execute ahead of it and all remaining host work — the
+    (N,T,7) head-pose fetch, stage-1 record stacking and metric packing,
+    metric unflattening — runs WHILE a chain executes.  Each chain's metric
+    suite (with the predicted-floor clustering inside it, ops/floor.py) is
+    dispatched straight behind the chain with no host sync in between; per
+    iteration the queue is
+      [... chain k-1][metrics k-1][gt_prep k+1][stage1 k+1][chain k]...
+    and the only host block is collecting batch k-1's flat metric array
+    after chain k is dispatched.  Numerically identical to the sequential
     gt_from_smpl_params_batched + stage1_head_pose_batched + evaluate_batch
-    composition (same programs, same keys; the GT head pose / floor-aligned
-    conditioning are rebuilt host-side from the SAME fetched f32 arrays with
-    the same IEEE subtract): tests/test_eval_pipeline.py."""
+    composition (same programs, same keys; the chain conditioning is the
+    SAME fetched device head-pose buffer): tests/test_eval_pipeline.py."""
     n_b = len(batches)
     if n_b == 0:
         return []
     keys = jax.random.split(key, n_b)
     if "_s1_metrics_batched" not in pipeline.extras:
-        pipeline.extras["_s1_metrics_batched"] = jax.jit(jax.vmap(
-            lambda pt, pq, gtt, gtq: metrics_mod.compute_head_pose_metrics(
-                pt, rot.quat_to_matrix(pq), gtt, rot.quat_to_matrix(gtq)
-            )
-        ))
+        # packed I/O: ONE (N, t, 14) upload and ONE (N, 3) fetch per batch
+        # instead of four uploads + three fetches (each a tunnel round trip)
+        def _s1_metrics(packed):
+            pred, gt = packed[..., :7], packed[..., 7:]
+            hd, hrd, hte = jax.vmap(
+                lambda pt, pq, gtt, gtq: metrics_mod.compute_head_pose_metrics(
+                    pt, rot.quat_to_matrix(pq), gtt, rot.quat_to_matrix(gtq)
+                )
+            )(pred[..., :3], pred[..., 3:], gt[..., :3], gt[..., 3:])
+            return jnp.stack([hd, hrd, hte], axis=-1)
+
+        pipeline.extras["_s1_metrics_batched"] = jax.jit(_s1_metrics)
 
     results: list = [None] * n_b
-    pending_chain = None   # (idx, n_seqs, chain device arrays, s1 device arrays)
-    pending_pred = None    # (idx, n_seqs, synced chain predictions, s1 ...)
-    pending_flat = None    # (idx, n_seqs, (flat metric device array, spec), s1 ...)
 
     def _collect(slot):
         j, n_seqs, flat, s1m = slot
         mds = _eval_metrics_collect(pipeline, flat)
         if sample_bs > 1:
             mds = select_best_of(mds, n_seqs, sample_bs)
-        results[j] = {
-            "metrics": mds,
-            "s1": None if s1m is None else tuple(np.asarray(v) for v in s1m),
-        }
-
-    if any("gt_qpos" in b for b in batches) and "_qpos_decode" not in pipeline.extras:
-        def _qpos_decode(qpos):
-            trans, aa24 = jax.vmap(geometry.qpos_to_smpl)(qpos)
-            n, t = qpos.shape[:2]
-            return trans, aa24[:, :, 0], aa24[:, :, 1:22].reshape(n, t, 63)
-
-        pipeline.extras["_qpos_decode"] = jax.jit(_qpos_decode)
+        s1 = None
+        if s1m is not None:
+            s1_np = np.asarray(s1m)
+            s1 = (s1_np[:, 0], s1_np[:, 1], s1_np[:, 2])
+        results[j] = {"metrics": mds, "s1": s1}
 
     _ensure_gt_programs(pipeline)
 
@@ -551,44 +519,29 @@ def run_batches_pipelined(pipeline: EgoEgoPipeline, batches: list[dict], key,
         batch = batches[k]
         records = batch.get("records")
         if "gt_qpos" in batch:
-            t_gt = np.asarray(batch["gt_qpos"]).shape[1]
-            gt_trans, gt_root_orient, gt_body_pose = pipeline.extras[
-                "_qpos_decode"
-            ](jnp.asarray(np.asarray(batch["gt_qpos"], np.float32)))
+            qpos = np.asarray(batch["gt_qpos"], np.float32)
+            t_gt = qpos.shape[1]
+            gq, gp, head_dev = pipeline.extras["_gt_prep_qpos"](
+                jnp.asarray(qpos), pipeline.rest_offsets
+            )
         else:
             t_gt = np.asarray(batch["gt_trans"]).shape[1]
-            gt_trans = batch["gt_trans"]
-            gt_root_orient = batch["gt_root_orient"]
-            gt_body_pose = batch["gt_body_pose"]
-        gq_raw, gp_raw = _gt_fk_dispatch(
-            pipeline, gt_trans, gt_root_orient, gt_body_pose,
-        )
+            gq, gp, head_dev = gt_from_smpl_params_batched(
+                pipeline, batch["gt_trans"], batch["gt_root_orient"],
+                batch["gt_body_pose"],
+            )
         s1_out = (pipeline.stage1_head_pose_batched(records)
                   if records is not None else None)
-        return {"batch": batch, "t_gt": t_gt, "gq": gq_raw, "gp": gp_raw,
-                "s1": s1_out}
+        return {"batch": batch, "t_gt": t_gt, "gq": gq, "gp": gp,
+                "head": head_dev, "s1": s1_out}
 
     def _prechain_host(pf):
-        """Host finalize of a prefetched batch: GT floor clustering, snap
-        dispatch, stage-1 metric dispatch, chain-conditioning assembly.
-        Touches only programs dispatched before the PREVIOUS chain, so this
-        runs concurrently with that chain on the device."""
-        batch, t_gt = pf["batch"], pf["t_gt"]
-        gq_raw, gp_raw, s1_out = pf["gq"], pf["gp"], pf["s1"]
-        gp_np = np.asarray(gp_raw)
-        floors_np = _floor_heights(gp_np)
-        gp, _gt_head_dev = pipeline.extras["_gt_snap"](
-            gq_raw, gp_raw, jnp.asarray(floors_np)
-        )
-        # host twin of _gt_snap's head pose: fetching _gt_head_dev would
-        # block behind the previous chain; the same f32 subtract on the
-        # already-fetched arrays is bitwise identical
-        gt_head_np = None
-        if s1_out is None or "gt_head_pose" not in batch:
-            gq_np = np.asarray(gq_raw)
-            head_p = gp_np[:, :, HEAD_IDX].copy()
-            head_p[:, :, 2] -= floors_np[:, None]
-            gt_head_np = np.concatenate([head_p, gq_np[:, :, HEAD_IDX]], -1)
+        """Host finalize of a prefetched batch: ONE (N, T, 7) head-pose
+        fetch, stage-1 metric dispatch (one packed upload), and the chain-
+        conditioning assembly.  Touches only programs dispatched before the
+        PREVIOUS chain, so this runs concurrently with that chain."""
+        batch, t_gt, s1_out = pf["batch"], pf["t_gt"], pf["s1"]
+        gt_head_np = np.asarray(pf["head"])
         if s1_out is not None:
             # Trim the stage-1 head pose to min(qpos len, GT head-pose len)
             # when an explicit GT head pose is given — the per-sequence
@@ -608,57 +561,40 @@ def run_batches_pipelined(pipeline: EgoEgoPipeline, batches: list[dict], key,
             pred[:, :, :2] -= pred[:, 0:1, :2]
             gt[:, :, :2] -= gt[:, 0:1, :2]
             s1m = pipeline.extras["_s1_metrics_batched"](
-                jnp.asarray(pred[:, :, :3]), jnp.asarray(pred[:, :, 3:]),
-                jnp.asarray(gt[:, :, :3]), jnp.asarray(gt[:, :, 3:]),
+                jnp.asarray(np.concatenate([pred, gt], axis=-1))
             )
-            # floor-align predicted heads to the GT start (eval_egoego:334)
-            # — host twin of np.asarray(gp_snapped[:, 0:1, HEAD_IDX])
-            head0 = gp_np[:, 0:1, HEAD_IDX].copy()
-            head0[:, :, 2] -= floors_np[:, None]
-            hp[:, :, :3] += head0 - hp[:, 0:1, :3]
+            # floor-align predicted heads to the GT start (eval_egoego:334);
+            # gt_head_np[:, 0, :3] IS the snapped first-frame head position
+            hp[:, :, :3] += gt_head_np[:, 0:1, :3] - hp[:, 0:1, :3]
         else:
             hp, s1m = gt_head_np, None
-        return {"hp": hp, "gq": gq_raw, "gp": gp, "s1m": s1m}
+        return {"hp": hp, "gq": pf["gq"], "gp": pf["gp"], "s1m": s1m}
 
     pf_next = _prefetch(0)
+    pending = None  # (idx, n_seqs, (flat metric device array, spec), s1m)
     for k in range(n_b):
         # (1) host-finalize batch k's pre-chain work; at k>0 this overlaps
         # chain k-1 (its device inputs ran ahead of that chain)
         prep = _prechain_host(pf_next)
         # (2) dispatch batch k+1's small programs BEFORE chain k
         pf_next = _prefetch(k + 1) if k + 1 < n_b else None
-        # (3) synchronize on chain k-1 (the one host block per iteration)
-        if pending_chain is not None:
-            j, j_seqs, chain_out, s1m = pending_chain
-            pending_pred = (j, j_seqs, _chain_sync(chain_out), s1m)
-            pending_chain = None
-        # (4) dispatch chain k as early as possible
+        # (3) dispatch chain k, then its metric suite straight behind it —
+        # the floor clustering lives inside the metric program, so no host
+        # sync separates a chain from its metrics
         hp, gq, gp = prep["hp"], prep["gq"], prep["gp"]
         n_seqs = hp.shape[0]
         if sample_bs > 1:
             hp, gq, gp = _tile_samples(hp, gq, gp, sample_bs)
         chain_out = _eval_chain_dispatch(pipeline, hp, gq, gp, keys[k])
-        # (5) batch k-2's metric program ran right after chain k-1 —
-        # collect it, then run batch k-1's predicted-floor clustering and
-        # dispatch its metric suite (queues behind chain k; collected after
-        # chain k's sync) — all overlapping chain k
-        if pending_flat is not None:
-            _collect(pending_flat)
-            pending_flat = None
-        if pending_pred is not None:
-            j, j_seqs, synced, s1m = pending_pred
-            pending_flat = (
-                j, j_seqs, _eval_metrics_dispatch_synced(pipeline, synced), s1m
-            )
-            pending_pred = None
-        pending_chain = (k, n_seqs, chain_out, prep["s1m"])
+        flat = _eval_metrics_dispatch(pipeline, chain_out)
+        # (4) collect batch k-1 — the one host block per iteration; its
+        # metric program completed right after chain k-1 while chain k
+        # keeps the device busy
+        if pending is not None:
+            _collect(pending)
+        pending = (k, n_seqs, flat, prep["s1m"])
 
-    # drain: the last chain, then the two metric stages still in flight
-    j, n_seqs, chain_out, s1m = pending_chain
-    synced = _chain_sync(chain_out)
-    if pending_flat is not None:
-        _collect(pending_flat)
-    _collect((j, n_seqs, _eval_metrics_dispatch_synced(pipeline, synced), s1m))
+    _collect(pending)
     return results
 
 
