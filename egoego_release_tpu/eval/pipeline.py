@@ -132,16 +132,37 @@ class EgoEgoPipeline:
     def stage1_head_pose_batched(self, records: list[dict]) -> dict:
         """N same-length sequences through stage 1 as ONE vmapped+jitted
         dispatch (TPU-native eval fan-in; per-record dispatch costs a tunnel
-        round trip each).  Returns dict with head_pose (N, T, 7)."""
-        stack = lambda k: jnp.asarray(np.stack([np.asarray(r[k]) for r in records]))
-        head_pose, pred_scale, normal = self._stage1_fn(True)(
+        round trip each).  Returns dict with head_pose (N, T, 7).
+
+        All five per-frame inputs ride ONE packed (N, T, 512+7+3+3+9)
+        upload — six separate uploads each cost a tunnel round trip — and
+        the init quat is sliced from the packed head pose in-program."""
+        if "_s1_packed" not in self.extras:
+            fn = self._stage1_fn(True)
+
+            def _packed(hn_params, gn_params, packed):
+                of = packed[..., :512]
+                head_pose = packed[..., 512:519]
+                aligned = packed[..., 519:522]
+                ori_t = packed[..., 522:525]
+                ori_m = packed[..., 525:534].reshape(packed.shape[:2] + (3, 3))
+                return fn(hn_params, gn_params, of, head_pose[:, 0, 3:],
+                          aligned, ori_t, ori_m, head_pose)
+
+            self.extras["_s1_packed"] = jax.jit(_packed)
+
+        def flat(r):
+            return np.concatenate([
+                np.asarray(r["of"], np.float32),
+                np.asarray(r["head_pose"], np.float32),
+                np.asarray(r["aligned_slam_trans"], np.float32),
+                np.asarray(r["ori_slam_trans"], np.float32),
+                np.asarray(r["ori_slam_rot_mat"], np.float32).reshape(-1, 9),
+            ], axis=-1)
+
+        head_pose, pred_scale, normal = self.extras["_s1_packed"](
             self.headnet_params, self.gravitynet_params,
-            stack("of"),
-            jnp.asarray(np.stack([np.asarray(r["head_pose"][0, 3:]) for r in records])),
-            stack("aligned_slam_trans"),
-            stack("ori_slam_trans"),
-            stack("ori_slam_rot_mat"),
-            stack("head_pose"),
+            jnp.asarray(np.stack([flat(r) for r in records])),
         )
         return {"head_pose": head_pose, "pred_scale": pred_scale,
                 "pred_normal": normal}
