@@ -434,10 +434,13 @@ def _ensure_gt_programs(pipeline: EgoEgoPipeline):
         )
         return gq, gp, head_pose
 
-    def _gt_prep(trans, root_orient, body_pose, rest):
-        n, t = trans.shape[:2]
+    def _gt_prep(packed, rest):
+        # packed (N, T, 69) = trans 3 | root_orient 3 | body_pose 63 — one
+        # upload instead of three (each a tunnel round trip)
+        n, t = packed.shape[:2]
+        trans = packed[..., :3]
         local_aa = jnp.concatenate(
-            [root_orient[:, :, None, :], body_pose.reshape(n, t, 21, 3)],
+            [packed[..., None, 3:6], packed[..., 6:].reshape(n, t, 21, 3)],
             axis=2,
         )
         gq, gp = fk_mod.fk_smpl(
@@ -449,7 +452,11 @@ def _ensure_gt_programs(pipeline: EgoEgoPipeline):
         trans, aa24 = jax.vmap(geometry.qpos_to_smpl)(qpos)
         n, t = qpos.shape[:2]
         return _gt_prep(
-            trans, aa24[:, :, 0], aa24[:, :, 1:22].reshape(n, t, 63), rest
+            jnp.concatenate(
+                [trans, aa24[:, :, 0], aa24[:, :, 1:22].reshape(n, t, 63)],
+                axis=-1,
+            ),
+            rest,
         )
 
     pipeline.extras["_gt_prep"] = jax.jit(_gt_prep)
@@ -459,15 +466,20 @@ def _ensure_gt_programs(pipeline: EgoEgoPipeline):
 def gt_from_smpl_params_batched(pipeline: EgoEgoPipeline, trans, root_orient,
                                 body_pose):
     """Batched GT prep: (N, T, ...) params -> (jrot (N,T,22,4), jpos
-    (N,T,22,3), head_pose (N,T,7)) as one device program — no transfers.
+    (N,T,22,3), head_pose (N,T,7)) as one device program and one packed
+    upload — no device->host transfers.
 
     Deviation note: the floor clustering runs on device (ops/floor.py
     docstring); the per-sequence `gt_from_smpl_params` keeps the
     reference-exact host/sklearn path."""
     _ensure_gt_programs(pipeline)
+    packed = np.concatenate([
+        np.asarray(trans, np.float32),
+        np.asarray(root_orient, np.float32),
+        np.asarray(body_pose, np.float32),
+    ], axis=-1)
     return pipeline.extras["_gt_prep"](
-        jnp.asarray(trans), jnp.asarray(root_orient), jnp.asarray(body_pose),
-        pipeline.rest_offsets,
+        jnp.asarray(packed), pipeline.rest_offsets
     )
 
 
