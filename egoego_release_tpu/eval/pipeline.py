@@ -134,18 +134,19 @@ class EgoEgoPipeline:
         dispatch (TPU-native eval fan-in; per-record dispatch costs a tunnel
         round trip each).  Returns dict with head_pose (N, T, 7).
 
-        All five per-frame inputs ride ONE packed (N, T, 512+7+3+3+9)
-        upload — six separate uploads each cost a tunnel round trip — and
-        the init quat is sliced from the packed head pose in-program."""
+        The four pose-length inputs ride ONE packed (N, T, 7+3+3+9) upload
+        (separate uploads each cost a tunnel round trip; `of` stays its own
+        upload — optical flow is between-frames and can be one frame
+        shorter than the pose arrays) and the init quat is sliced from the
+        packed head pose in-program."""
         if "_s1_packed" not in self.extras:
             fn = self._stage1_fn(True)
 
-            def _packed(hn_params, gn_params, packed):
-                of = packed[..., :512]
-                head_pose = packed[..., 512:519]
-                aligned = packed[..., 519:522]
-                ori_t = packed[..., 522:525]
-                ori_m = packed[..., 525:534].reshape(packed.shape[:2] + (3, 3))
+            def _packed(hn_params, gn_params, of, packed):
+                head_pose = packed[..., :7]
+                aligned = packed[..., 7:10]
+                ori_t = packed[..., 10:13]
+                ori_m = packed[..., 13:22].reshape(packed.shape[:2] + (3, 3))
                 return fn(hn_params, gn_params, of, head_pose[:, 0, 3:],
                           aligned, ori_t, ori_m, head_pose)
 
@@ -153,7 +154,6 @@ class EgoEgoPipeline:
 
         def flat(r):
             return np.concatenate([
-                np.asarray(r["of"], np.float32),
                 np.asarray(r["head_pose"], np.float32),
                 np.asarray(r["aligned_slam_trans"], np.float32),
                 np.asarray(r["ori_slam_trans"], np.float32),
@@ -162,6 +162,8 @@ class EgoEgoPipeline:
 
         head_pose, pred_scale, normal = self.extras["_s1_packed"](
             self.headnet_params, self.gravitynet_params,
+            jnp.asarray(np.stack([np.asarray(r["of"], np.float32)
+                                  for r in records])),
             jnp.asarray(np.stack([flat(r) for r in records])),
         )
         return {"head_pose": head_pose, "pred_scale": pred_scale,
