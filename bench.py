@@ -48,16 +48,29 @@ def _watchdogged_main() -> None:
     backend touch detects the second, so the whole benchmark runs in a
     subprocess the parent can kill: the driver always gets ONE JSON line —
     a number or an error — never a timeout.
-    """
-    from egoego_release_tpu.utils.tunnel import check_axon_tunnel
 
-    err = check_axon_tunnel()
+    Round-5 (VERDICT r4 #1): the relay flaps on the order of minutes while
+    the driver's budget is ~600 s, so instead of giving up after one probe
+    cycle the parent RE-PROBES inside a bounded window
+    (BENCH_RETRY_WINDOW, default 300 s; probes every BENCH_RETRY_INTERVAL
+    = 75 s) before emitting the error JSON.  The probe runs a REAL dispatch
+    in a killable subprocess (wait_for_healthy_backend), so listening-but-
+    sick is detected too.  A healthy first probe costs one backend init
+    (~10-20 s); the benchmark itself hits the persistent compilation cache
+    (see main()) so a warm healthy run stays well inside the watchdog.
+    """
+    from egoego_release_tpu.utils.tunnel import wait_for_healthy_backend
+
+    window_s = float(os.environ.get("BENCH_RETRY_WINDOW", "300"))
+    interval_s = float(os.environ.get("BENCH_RETRY_INTERVAL", "75"))
+    err = wait_for_healthy_backend(window_s, interval_s)
     if err is not None:
         _error_json(err)
         raise SystemExit(2)
 
-    # Generous for a healthy run (~25 s measured: compile + 4x chain at
-    # bs=256) yet far inside the driver's own budget (~600 s).
+    # Generous for a healthy run (warm compile cache: ~30-60 s; COLD
+    # relay-side compile measured ~420 s in round 5) yet inside the
+    # driver's own budget (~600 s).
     timeout_s = float(os.environ.get("BENCH_TIMEOUT", "480"))
     env = dict(os.environ)
     env[_CHILD_ENV_MARK] = "1"
@@ -92,6 +105,15 @@ def main():
     # so the faster generator is safe; golden-chain parity tests inject
     # explicit noise and are unaffected.
     jax.config.update("jax_default_prng_impl", "rbg")
+    # Persistent compilation cache: a COLD relay-side compile of this
+    # workload measured ~420 s (round 5) vs ~25 s warm — without the cache
+    # a single cold compile eats the whole driver budget.  Any interactive
+    # bench run warms it for the driver's end-of-round run on this host.
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", "/tmp/egoego_jax_bench_cache"
+    )
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     import dataclasses
 

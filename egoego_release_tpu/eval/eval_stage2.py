@@ -108,8 +108,15 @@ def run(opt) -> dict:
             ),
         } for chunk in chunks]
         key, sk = jax.random.split(key)
+        import time as _time
+
+        t0 = _time.perf_counter()
         res = run_batches_pipelined(pipeline, batches, sk,
                                     sample_bs=opt.sample_bs)
+        dt = _time.perf_counter() - t0
+        print(f"batched eval: {len(eligible)} seqs in {dt:.1f}s "
+              f"({len(eligible) / dt:.2f} seqs/sec incl. first-chunk "
+              "compile)")
         for chunk, b in zip(chunks, res):
             for (seq_name, _), md in zip(chunk, b["metrics"]):
                 record_result(seq_name, md)

@@ -388,7 +388,11 @@ def evaluate_batch(
     evaluates sequences one at a time (eval_stage2.py per-seq loop); on TPU
     batching N*S single-window sequences costs the same 1000 steps once.
 
-    Floor estimation stays per-sequence host-side (scalar clustering).
+    Floor estimation runs IN-PROGRAM via ops/floor.py (fixed-shape 1-D
+    DBSCAN: sort + searchsorted + segment medians, fused into the metric
+    program by _eval_metrics_dispatch — documented f32 deviation from the
+    reference's host-side sklearn DBSCAN; see gt_from_smpl_params_batched
+    and REFERENCE_PARITY.md "floor height").
     Returns a list of N metric dicts (each the best of its sample_bs
     candidates by MPJPE, matching evaluate_sequence's selection).
     """

@@ -66,14 +66,19 @@ def build_from_config(cfg: KinpolyConfig, rest_offsets, num_envs: int = 16):
 def train(cfg_path: str, expert_path: str, rest_offsets, iters: int = 100,
           num_envs: int = 16, seed: int = 0, save_dir: str | None = None,
           save_interval: int = 50, log_every: int = 10,
-          init_policy_params=None) -> dict:
+          init_policy_params=None, takes: list[str] | None = None) -> dict:
     """init_policy_params: warm-start the actor (the reference's AgentAR
     fine-tunes a supervised-pretrained ARNet policy, agent_ar.py — PPO from
-    a random 80-dim absolute-pose actor has no reward signal)."""
+    a random 80-dim absolute-pose actor has no reward signal).
+
+    takes: optional take-name whitelist for the expert dataset — the
+    statear TRAINING protocol samples windows across a cfg-resolved take
+    LIST (statear_smpl_dataset.py:31), not a single sequence."""
     cfg = KinpolyConfig(cfg_path)
     env, agent = build_from_config(cfg, rest_offsets, num_envs)
     fr_num = int(cfg.get("fr_num", 90))
-    ds = StateARDataset(expert_path, fr_num=fr_num, train=True, seed=seed)
+    ds = StateARDataset(expert_path, fr_num=fr_num, train=True, seed=seed,
+                        takes=takes)
     assert len(ds) > 0, f"no expert windows of length {fr_num} in {expert_path}"
 
     rng = np.random.RandomState(seed)

@@ -127,7 +127,9 @@ class PhysicsPPO:
                 "p_opt": self.p_opt.init(p), "v_opt": self.v_opt.init(v)}
 
     def collect(self, state, key, qpos0: np.ndarray, targets: np.ndarray,
-                horizon: int, sess=None, qvel0: np.ndarray | None = None):
+                horizon: int, sess=None, qvel0: np.ndarray | None = None,
+                on_fail: str = "break",
+                fail_qvels: np.ndarray | None = None):
         """One host rollout tracking a (T, 76) kinematic target sequence.
 
         The observation filter is applied as a per-iteration SNAPSHOT (the
@@ -135,6 +137,24 @@ class PhysicsPPO:
         concurrent rollouts see consistent normalization.  qvel0 seeds the
         initial joint velocities (the reference's expert-state resets —
         humanoid_im.py reset_model uses expert qvel); default zeros.
+
+        on_fail: what a mid-rollout termination (body_diff past the
+        threshold) does during TRAINING collection:
+          "break"    — end the rollout (pre-round-5 behavior; the
+                       reference's done -> new episode)
+          "failsafe" — reset the sim to the expert state at the NEXT frame
+                       and keep collecting the same window — the
+                       reference's fail_safe playback
+                       (copycat/envs/humanoid_im.py:267 resets qpos/qvel to
+                       the expert's current frame; relive ar_fail_safe,
+                       humanoid_ar_v1.py:642) applied at TRAINING time, so
+                       late-take states stay in the training distribution
+                       instead of being unreachable after an early fall.
+                       The failure step keeps done=True in the batch, so
+                       GAE does not bootstrap across the reset.
+        fail_qvels: (T, qvel_dim) expert finite-difference velocities used
+        to seed fail-safe resets (humanoid_im.fail_safe restores expert
+        qvel too); zeros when absent.
         """
         sess = sess or self.sess
         zf = self.zfilter
@@ -160,6 +180,12 @@ class PhysicsPPO:
             logp_l.append(logp); val_l.append(val)
             rew_l.append(r); done_l.append(done)
             if done:
+                if on_fail == "failsafe" and t < horizon - 1:
+                    nxt = min(ind + 1, len(targets) - 1)
+                    qv = (fail_qvels[min(nxt, len(fail_qvels) - 1)]
+                          if fail_qvels is not None else None)
+                    sess.reset(np.asarray(targets[nxt], np.float64), qv)
+                    continue
                 break
         last_o = ZFilter.apply(
             zf, self.obs(targets[-1], sess, cur_t=len(targets) - 1))
@@ -228,14 +254,16 @@ class PhysicsPPO:
         return new_state, key, metrics
 
     def iterate_parallel(self, state, key, tasks, horizon: int,
-                         num_threads: int = 4):
+                         num_threads: int = 4, on_fail: str = "break"):
         """One PPO iteration over several rollouts collected concurrently —
         the reference's multiprocess `agent.sample`
         (copycat/khrylib/rl/agents/agent.py:107-131) as threads: MuJoCo
         stepping releases the GIL, each worker gets its own env clone, and
         the policy/value/ZFilter are read-only snapshots during collection.
 
-        tasks: list of (qpos0, targets) or (qpos0, targets, qvel0) tuples.
+        tasks: list of (qpos0, targets), (qpos0, targets, qvel0), or
+        (qpos0, targets, qvel0, fail_qvels) tuples; on_fail/fail_qvels as
+        in collect (training-time fail-safe resets).
         """
         import concurrent.futures as cf
 
@@ -247,7 +275,10 @@ class PhysicsPPO:
             qpos0, targets, *rest = tasks[i]
             _, batch = self.collect(state, keys[i + 1], qpos0, targets,
                                     horizon, sess=sessions[i],
-                                    qvel0=rest[0] if rest else None)
+                                    qvel0=rest[0] if rest else None,
+                                    on_fail=on_fail,
+                                    fail_qvels=rest[1] if len(rest) > 1
+                                    else None)
             return batch
 
         with cf.ThreadPoolExecutor(max_workers=num_threads) as ex:

@@ -90,6 +90,50 @@ def probe_backend_device_count(timeout: float = PROBE_TIMEOUT_S) -> int:
         return 0
 
 
+def wait_for_healthy_backend(
+    window_s: float,
+    interval_s: float = 75.0,
+    probe_timeout: float = PROBE_TIMEOUT_S,
+    *,
+    probe=None,
+    sleep=None,
+    clock=None,
+) -> str | None:
+    """Bounded retry: re-probe the axon backend until healthy or until
+    ``window_s`` elapses.  Returns None on health, else the last error.
+
+    Rationale (VERDICT r4 #1): rounds 3 and 4 both recorded value:null
+    driver benchmarks because the relay happened to be sick AT DRIVER TIME
+    while every number reproduced hours later on the same chip.  The relay
+    flaps on the order of minutes, and the driver's budget (~600 s) has room
+    for a probe loop ahead of the ~25-60 s warm-cache benchmark — so ride
+    out short flaps instead of giving up after one probe cycle.
+
+    The loop alternates a full health check (fast TCP probe + watchdogged
+    real-dispatch subprocess — ``check_axon_backend``) with ``interval_s``
+    sleeps, and gives up once the next probe could not START inside the
+    window.  A healthy first probe returns immediately (no sleep), so the
+    happy path costs one probe (~10-20 s backend init).
+
+    ``probe``/``sleep``/``clock`` are injectable for unit tests (a mock
+    probe that fails N times then succeeds — tests/test_tunnel_retry.py).
+    """
+    import time as _time
+
+    probe = probe or (lambda: check_axon_backend(probe_timeout))
+    sleep = sleep or _time.sleep
+    clock = clock or _time.monotonic
+
+    deadline = clock() + window_s
+    err = probe()
+    while err is not None:
+        if clock() + interval_s >= deadline:
+            return err
+        sleep(interval_s)
+        err = probe()
+    return None
+
+
 def check_axon_backend(timeout: float = PROBE_TIMEOUT_S) -> str | None:
     """Full health check: fast TCP probe, then a watchdogged backend touch.
 

@@ -39,6 +39,10 @@ SLOW_TESTS = {
     "test_trajar_rollout_and_loss",
     "test_eval_sweep_runs_both_configs",
     "test_release_dims_sharded_step_and_sample",
+    "test_release_dims_sharded_canonical_chain_executes",
+    "test_installed_package_resolves_from_venv",
+    "test_console_entry_point_runs_real_eval",
+    "test_native_loader_builds_from_installed_source",
     "test_eval_egoego_cli_end_to_end",
     "test_sharded_chain_matches_unsharded_dp_tp",
     "test_random_init_runs_and_jits",

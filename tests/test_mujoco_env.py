@@ -232,3 +232,46 @@ def test_physics_ppo_parallel_rollouts():
     assert np.isfinite(m["reward_mean"]) and np.isfinite(m["policy_loss"])
     # obs filter stats updated from RAW observations (count == total steps)
     assert float(agent.zfilter["count"]) == m["total_steps"]
+
+
+def test_collect_failsafe_continues_past_termination():
+    """VERDICT r4 #5: training-time fail-safe resets — with a
+    termination threshold tight enough that every step 'fails',
+    on_fail='failsafe' must keep collecting the full horizon (sim reset to
+    the expert's next frame each time, humanoid_im.py:267 semantics) while
+    on_fail='break' truncates at the first done.  The failure steps stay
+    done=True in the batch so GAE cannot bootstrap across the resets."""
+    import jax
+
+    from egoego_release_tpu.rl.imitation import PhysicsImitation
+    from egoego_release_tpu.rl.train_physics_agent import PhysicsPPO
+
+    # term_body_diff=0 -> any nonzero body diff terminates immediately
+    sess = PhysicsImitation(XML, reward_id="dynamic_supervision_v4",
+                            term_body_diff=0.0)
+    agent = PhysicsPPO(sess, hsize=(32, 16), epochs=2)
+    key = jax.random.PRNGKey(0)
+    state = agent.init_state(key)
+
+    qpos0 = _standing_qpos()
+    horizon = 6
+    targets = np.tile(qpos0, (horizon, 1))
+    qvels = np.zeros((horizon, sess.env.model.nv))
+
+    _, b_break = agent.collect(state, key, qpos0, targets, horizon,
+                               on_fail="break")
+    assert len(b_break["rewards"]) == 1 and bool(b_break["dones"][0])
+
+    sess.reset(qpos0)
+    _, b_fs = agent.collect(state, key, qpos0, targets, horizon,
+                            on_fail="failsafe", fail_qvels=qvels)
+    assert len(b_fs["rewards"]) == horizon
+    assert b_fs["dones"].all()  # every failure step stays marked
+    assert np.isfinite(b_fs["rewards"]).all()
+
+    # and the parallel driver threads it through
+    tasks = [(qpos0, targets, None, qvels) for _ in range(2)]
+    state, key, m = agent.iterate_parallel(state, key, tasks, horizon,
+                                           num_threads=2, on_fail="failsafe")
+    assert m["total_steps"] == 2 * horizon
+    assert np.isfinite(m["reward_mean"]) and np.isfinite(m["policy_loss"])

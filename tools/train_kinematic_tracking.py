@@ -131,29 +131,47 @@ def bc_pretrain(env, agent, expert_rec, key, steps=2000, lr=1e-3):
     """Supervised pretraining of the actor mean on expert transitions (the
     role of the reference's ARNet supervised stage that AgentAR fine-tunes):
     obs_t -> inverse_step_qpos(qpos_t, qpos_{t+1}), exact by construction
-    (tests/test_trajar.py::test_inverse_step_qpos_roundtrip)."""
+    (tests/test_trajar.py::test_inverse_step_qpos_roundtrip).
+
+    expert_rec: one expert record OR a list of records — a list trains ONE
+    policy JOINTLY on every take (the statear multi-take protocol,
+    statear_smpl_dataset.py:31: windows are sampled across the cfg take
+    list): phase 1 concatenates all takes' (obs, target) pairs into one
+    regression batch; phase 2 runs the closed-loop scan per take and
+    averages the losses."""
     import optax
 
     from egoego_release_tpu.models.trajar import inverse_step_qpos
     from egoego_release_tpu.rl.env import EnvState
 
-    qpos = jnp.asarray(expert_rec["qpos"])          # (T, 76)
-    qvel_fd = jnp.asarray(expert_rec["qvel"])       # (T-1, 75): vel t -> t+1
-    t_total = qpos.shape[0]
-    b = t_total - 1
-    # state velocity at step t = the velocity that PRODUCED qpos_t (zero at 0)
-    qvel = jnp.concatenate([jnp.zeros((1, qvel_fd.shape[1])), qvel_fd], axis=0)
-    # every expert step becomes one "env" in the batch (t indexes the expert)
-    expert = {
-        k: jnp.repeat(jnp.asarray(expert_rec[k])[:, None], b, axis=1)
-        for k in ("qpos", "head_pose", "head_vels")
-    }
-    state = EnvState(
-        qpos=qpos[:-1], qvel=qvel[:b],
-        t=jnp.arange(b, dtype=jnp.int32), done=jnp.zeros((b,), bool),
-    )
-    obs = env.obs(state, expert)
-    target = inverse_step_qpos(qpos[:-1], qpos[1:])
+    recs = expert_rec if isinstance(expert_rec, (list, tuple)) else [expert_rec]
+
+    obs_parts, target_parts, take_tensors = [], [], []
+    for rec in recs:
+        qpos = jnp.asarray(rec["qpos"])          # (T, 76)
+        qvel_fd = jnp.asarray(rec["qvel"])       # (T-1, 75): vel t -> t+1
+        t_total = qpos.shape[0]
+        b = t_total - 1
+        # state velocity at step t = the velocity that PRODUCED qpos_t
+        # (zero at 0)
+        qvel = jnp.concatenate(
+            [jnp.zeros((1, qvel_fd.shape[1])), qvel_fd], axis=0
+        )
+        # every expert step becomes one "env" in the batch (t indexes the
+        # expert)
+        expert = {
+            k: jnp.repeat(jnp.asarray(rec[k])[:, None], b, axis=1)
+            for k in ("qpos", "head_pose", "head_vels")
+        }
+        state = EnvState(
+            qpos=qpos[:-1], qvel=qvel[:b],
+            t=jnp.arange(b, dtype=jnp.int32), done=jnp.zeros((b,), bool),
+        )
+        obs_parts.append(env.obs(state, expert))
+        target_parts.append(inverse_step_qpos(qpos[:-1], qpos[1:]))
+        take_tensors.append((qpos, qvel, b))
+    obs = jnp.concatenate(obs_parts, axis=0)
+    target = jnp.concatenate(target_parts, axis=0)
 
     params = agent.policy.init(key, obs[:1])
     opt = optax.adam(lr)
@@ -177,12 +195,17 @@ def bc_pretrain(env, agent, expert_rec, key, steps=2000, lr=1e-3):
     # and supervise each step toward the action that reaches the NEXT expert
     # frame from the CURRENT (drifted) state; dynamics are stop_gradient
     # (DAgger-style), so open-loop compounding error becomes training signal.
+    # Multi-take: one scan per take inside the same loss (the python loop
+    # unrolls at trace time; takes have fixed, distinct lengths).
     from egoego_release_tpu.models.trajar import step_qpos
 
-    expert_b1 = {
-        k: jnp.asarray(expert_rec[k])[:, None]
-        for k in ("qpos", "head_pose", "head_vels")
-    }
+    take_cl = []
+    for rec, (tq, tv, tb) in zip(recs, take_tensors):
+        take_cl.append((
+            {k: jnp.asarray(rec[k])[:, None]
+             for k in ("qpos", "head_pose", "head_vels")},
+            tq, tv, tb,
+        ))
 
     cl_steps = max(steps // 2, 50)
     cl_opt = optax.adam(
@@ -192,7 +215,7 @@ def bc_pretrain(env, agent, expert_rec, key, steps=2000, lr=1e-3):
 
     @jax.jit
     def closed_loop_step(params, cl_opt_state):
-        def loss_fn(p):
+        def take_loss(p, expert_b1, qpos, qvel, b):
             def step_fn(carry, t):
                 st = carry
                 o = env.obs(st, expert_b1)
@@ -223,6 +246,11 @@ def bc_pretrain(env, agent, expert_rec, key, steps=2000, lr=1e-3):
             _, ls = jax.lax.scan(step_fn, init, jnp.arange(b))
             return ls.mean()
 
+        def loss_fn(p):
+            losses = [take_loss(p, e, tq, tv, tb)
+                      for (e, tq, tv, tb) in take_cl]
+            return jnp.mean(jnp.stack(losses))
+
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, cl_opt_state = cl_opt.update(grads, cl_opt_state)
         return optax.apply_updates(params, updates), cl_opt_state, loss
@@ -251,6 +279,15 @@ def trim_record(rec: dict, n: int) -> dict:
 
 
 def main():
+    # CPU-pinned like tools/train_physics_controller.py: this workload is
+    # thousands of tiny per-step jitted calls (BC scans, per-iter PPO), so
+    # axon tunnel round trips would dominate — and a long-running TPU
+    # client would also starve any concurrent bench of the single chip
+    # (one client at a time; a held chip is indistinguishable from the
+    # listening-but-sick relay mode to a prober).  The tracking metric is
+    # hardware-independent.
+    jax.config.update("jax_platforms", "cpu")
+
     from egoego_release_tpu.preprocess.qpos import convert_motion_pickle
     from egoego_release_tpu.rl import train_agent as ta
 
@@ -266,6 +303,7 @@ def main():
     # sequence — statear_smpl_dataset.py:31 train/test take lists)
     holdout = int(os.environ.get("KIN_HOLDOUT", "0"))
     cross_take = os.environ.get("KIN_CROSS_TAKE", "") == "1"
+    multi_take = os.environ.get("KIN_MULTI_TAKE", "") == "1"
 
     rng = np.random.RandomState(0)
     rest = np.concatenate(
@@ -278,6 +316,163 @@ def main():
     import joblib
 
     expert_rec = list(joblib.load(expert_path).values())[0]
+
+    if multi_take:
+        # VERDICT r4 #3: train ONE policy on MULTIPLE takes (the statear
+        # protocol trains across cfg-resolved take LISTS,
+        # statear_smpl_dataset.py:31) and evaluate held-out.  Take list =
+        # the two bundled real takes + mirror/heading-rotation augmented
+        # variants built with preprocess/augment.py (the augment_amass.py
+        # port).  Three protocols:
+        #   A joint-real: train jointly on [demo, standing_neutral]; does
+        #     one policy hold BOTH takes near the single-take numbers?
+        #   B heldout-take (both directions): train jointly on
+        #     [take, take_flip, take_rot], cold-start eval the OTHER real
+        #     take — upgrade of the round-4 single-take cross-take rows
+        #     (70.2 / 123.6 mm)
+        #   C take-list PPO: ta.train over the multi-take expert pickle
+        #     through StateARDataset(takes=...) — the take-list TRAINING
+        #     path, previously exercised only by eval
+        from egoego_release_tpu.preprocess.augment import (
+            _aa_to_matrix_np,
+            _matrix_to_aa_np,
+            flip_smpl,
+        )
+        from egoego_release_tpu.preprocess.qpos import motion_to_expert
+
+        def demo_motion():
+            d = joblib.load(DEMO)
+            rec = d if "trans" in d else list(d.values())[0]
+            trans = np.asarray(rec["trans"], np.float32)
+            aa22 = np.concatenate(
+                [np.asarray(rec["root_orient"], np.float32),
+                 np.asarray(rec["body_pose"], np.float32)], axis=-1
+            ).reshape(trans.shape[0], 22, 3)
+            return trans, aa22
+
+        def neutral_motion():
+            d = joblib.load(NEUTRAL)
+            aa22 = np.asarray(d["pose_aa"], np.float32).reshape(
+                -1, 24, 3)[:, :22]
+            trans = np.tile(np.asarray(d["qpos"][:3], np.float32),
+                            (aa22.shape[0], 1))
+            return trans, aa22
+
+        def flip_take(trans, aa22):
+            """Sagittal mirror: joints via flip_smpl (R -> SRS + left/right
+            swap), root path via S t (kept anchored at the original start)."""
+            t = trans.shape[0]
+            aa24 = np.concatenate(
+                [aa22, np.zeros((t, 2, 3), aa22.dtype)], axis=1
+            ).reshape(t, 72)
+            aa_f = flip_smpl(aa24).reshape(t, 24, 3)[:, :22].astype(np.float32)
+            tr = trans * np.array([-1, 1, 1], np.float32)
+            tr = tr - tr[0:1] + trans[0:1]
+            return tr, aa_f
+
+        def rot_take(trans, aa22, angle=np.pi / 4):
+            """Global heading rotation: Rz pre-multiplies the root orient
+            and rotates the root path about its start."""
+            rz = _aa_to_matrix_np(np.array([[0.0, 0.0, angle]]))[0]
+            tr = (trans - trans[0:1]) @ rz.T + trans[0:1]
+            root = _aa_to_matrix_np(aa22[:, 0])
+            root_r = _matrix_to_aa_np(rz[None] @ root).astype(np.float32)
+            aa_r = np.array(aa22, copy=True)
+            aa_r[:, 0] = root_r
+            return tr.astype(np.float32), aa_r
+
+        motions = {"demo": demo_motion(), "standing_neutral": neutral_motion()}
+        for name in ("demo", "standing_neutral"):
+            tr, aa = motions[name]
+            motions[f"{name}_flip"] = flip_take(tr, aa)
+            motions[f"{name}_rot"] = rot_take(tr, aa)
+        takes = {}
+        for name, (tr, aa) in motions.items():
+            rec = motion_to_expert(tr, aa, rest)
+            rec["seq_name"] = name
+            takes[name] = rec
+
+        cfg = ta.KinpolyConfig(CFG)
+        env, agent = ta.build_from_config(cfg, rest, num_envs)
+        state0 = agent.init_state(jax.random.PRNGKey(seed))
+
+        def ev(params, rec):
+            return eval_tracking(env, agent, {"policy": params}, rec, rest)
+
+        result = {
+            "metric": "kinematic AR-policy MULTI-TAKE training (joint BC "
+                      "closed-loop across take lists; statear protocol)",
+            "bc_steps": bc_steps,
+            "take_frames": {k: int(v["qpos"].shape[0])
+                            for k, v in takes.items()},
+        }
+
+        # A: joint training on the two REAL takes
+        t0 = time.time()
+        params_ab, _ = bc_pretrain(
+            env, agent, [takes["demo"], takes["standing_neutral"]],
+            jax.random.PRNGKey(seed), steps=bc_steps,
+        )
+        result["joint_real"] = {
+            "bc_seconds": round(time.time() - t0, 1),
+            "demo_mpjpe_mm": round(ev(params_ab, takes["demo"])["mpjpe_mm"], 2),
+            "standing_neutral_mpjpe_mm":
+                round(ev(params_ab, takes["standing_neutral"])["mpjpe_mm"], 2),
+        }
+        print(f"joint_real: {result['joint_real']}", flush=True)
+
+        # B: joint on [real, flip, rot] -> cold-start the OTHER real take
+        result["heldout_take"] = {}
+        for train_name, test_name in (("demo", "standing_neutral"),
+                                      ("standing_neutral", "demo")):
+            t0 = time.time()
+            train_list = [takes[train_name], takes[f"{train_name}_flip"],
+                          takes[f"{train_name}_rot"]]
+            params_b, _ = bc_pretrain(
+                env, agent, train_list, jax.random.PRNGKey(seed),
+                steps=bc_steps,
+            )
+            seen = ev(params_b, takes[train_name])
+            held = ev(params_b, takes[test_name])
+            held0 = ev(state0["policy"], takes[test_name])
+            result["heldout_take"][f"{train_name}+aug->{test_name}"] = {
+                "bc_seconds": round(time.time() - t0, 1),
+                "seen_take_mpjpe_mm": round(seen["mpjpe_mm"], 2),
+                "heldout_take_mpjpe_mm": round(held["mpjpe_mm"], 2),
+                "heldout_take_global_mpjpe_mm":
+                    round(held["global_mpjpe_mm"], 2),
+                "heldout_take_untrained_mpjpe_mm":
+                    round(held0["mpjpe_mm"], 2),
+            }
+            print(f"{train_name}+aug->{test_name}: "
+                  f"{result['heldout_take'][f'{train_name}+aug->{test_name}']}",
+                  flush=True)
+
+        # C: the take-list TRAINING path — PPO over the multi-take pickle
+        # through StateARDataset(takes=...), warm-started from A's policy
+        multi_path = "/tmp/_kin_expert_multi.p"
+        joblib.dump(takes, multi_path)
+        ppo_iters = int(os.environ.get("KIN_ITERS", "20"))
+        out = ta.train(
+            CFG, multi_path, rest, iters=ppo_iters, num_envs=num_envs,
+            seed=seed, log_every=max(ppo_iters // 4, 1),
+            init_policy_params=params_ab,
+            takes=["demo", "standing_neutral"],
+        )
+        rewards = [h["reward_mean"] for h in out["history"]]
+        result["take_list_ppo"] = {
+            "iters": ppo_iters,
+            "takes": ["demo", "standing_neutral"],
+            "reward_first": round(float(rewards[0]), 4),
+            "reward_last": round(float(rewards[-1]), 4),
+            "demo_mpjpe_mm":
+                round(ev(out["state"]["policy"], takes["demo"])["mpjpe_mm"], 2),
+            "standing_neutral_mpjpe_mm":
+                round(ev(out["state"]["policy"],
+                         takes["standing_neutral"])["mpjpe_mm"], 2),
+        }
+        print(json.dumps(result))
+        return
 
     if cross_take:
         if "KIN_ITERS" in os.environ or holdout:
