@@ -80,3 +80,63 @@ def test_html_viewer_export(tmp_path):
     )
     data2 = json.loads(re.search(r"const DATA = (\{.*?\});\n", open(out2).read()).group(1))
     assert [s["name"] for s in data2["skeletons"]] == ["pred", "gt"]
+
+
+def test_html_mesh_viewer_roundtrip(tmp_path):
+    """add_mesh embeds a quantized-uint16 base64 vertex stream: re-parsing
+    the standalone html must recover the vertices within the quantization
+    resolution (span/65535) and preserve faces/frames — the sp_animation
+    mesh-mode twin (mesh_motion.py:287-339), validated without a browser."""
+    import base64
+    import json
+    import re
+
+    import numpy as np
+
+    from egoego_release_tpu.vis.html_viewer import vis_mesh_motion_html
+
+    rng = np.random.RandomState(0)
+    t, v = 5, 12
+    base = rng.uniform(-0.5, 0.5, (v, 3)).astype(np.float32)
+    offsets = np.cumsum(rng.uniform(-0.05, 0.05, (t, 1, 3)), axis=0)
+    verts = (base[None] + offsets).astype(np.float32)
+    faces = np.array([[0, 1, 2], [2, 3, 4], [4, 5, 6], [6, 7, 8],
+                      [8, 9, 10], [10, 11, 0]])
+    head = verts[:, 0]
+
+    out = str(tmp_path / "mesh.html")
+    vis_mesh_motion_html(verts, faces, out, gt_verts=verts + 0.01,
+                         head_traj=head, fps=25)
+    html = open(out).read()
+    data = json.loads(re.search(r"const DATA = (\{.*?\});\n", html).group(1))
+
+    assert data["numFrames"] == t and data["fps"] == 25
+    assert [m["name"] for m in data["meshes"]] == ["pred", "gt"]
+    assert [tr["name"] for tr in data["trajectories"]] == ["head"]
+
+    m = data["meshes"][0]
+    assert m["numFrames"] == t and m["numVerts"] == v
+    assert m["faces"] == faces.ravel().tolist()
+    q = np.frombuffer(base64.b64decode(m["vertsB64"]), "<u2").reshape(t, v, 3)
+    lo = np.asarray(m["lo"], np.float64)
+    span = np.asarray(m["span"], np.float64)
+    decoded = lo + q.astype(np.float64) / 65535.0 * span
+    resolution = span / 65535.0
+    assert np.all(np.abs(decoded - verts) <= resolution + 1e-6), (
+        np.abs(decoded - verts).max(), resolution
+    )
+    # the JS renderer branches must be present in the standalone artifact
+    for token in ("drawMesh", "meshVert", "painter", "atob"):
+        assert token in html
+
+
+def test_html_mesh_viewer_rejects_bad_faces(tmp_path):
+    import numpy as np
+    import pytest
+
+    from egoego_release_tpu.vis.html_viewer import HTMLAnimation
+
+    anim = HTMLAnimation()
+    verts = np.zeros((2, 4, 3), np.float32)
+    with pytest.raises(AssertionError):
+        anim.add_mesh("bad", verts, np.array([[0, 1, 9]]))
