@@ -52,6 +52,8 @@ SLOW_TESTS = {
     "test_ppo_improves_reward",
     "test_trajar_training_cli_overfits",
     "test_multi_take_mode_end_to_end_smoke",
+    "test_physics_controller_tool_smoke",
+    "test_collect_failsafe_continues_past_termination",
     "test_pipeline_shard_generates_sharded_and_pads",
     "test_headformer_with_cnn_path",
     "test_sharded_chain_matches_unsharded_dp_only",

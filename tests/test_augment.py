@@ -2,7 +2,6 @@
 oracle-tested with scipy (never the implementation's own helpers)."""
 
 import numpy as np
-import pytest
 from scipy.spatial.transform import Rotation as sRot
 
 from egoego_release_tpu.preprocess.augment import (

@@ -275,3 +275,36 @@ def test_collect_failsafe_continues_past_termination():
                                            num_threads=2, on_fail="failsafe")
     assert m["total_steps"] == 2 * horizon
     assert np.isfinite(m["reward_mean"]) and np.isfinite(m["policy_loss"])
+
+
+def test_physics_controller_tool_smoke():
+    """Pin the tools/train_physics_controller.py recipe (VERDICT r4 weak
+    #5): one tiny iteration end to end in a subprocess — the open-loop
+    baseline row must reproduce the known 71.6mm/30f stable-PD number
+    (physics_tracking_check round-3 result; weight-independent), and the
+    result JSON must carry the bar fields BASELINE.md records."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.update(PHYS_ITERS="1", PHYS_ROLLOUTS="2", PHYS_HORIZON="8",
+               PHYS_EVAL_EVERY="1", PHYS_ON_FAIL="failsafe")
+    res = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools",
+                                      "train_physics_controller.py")],
+        capture_output=True, text=True, env=env, timeout=900,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    result = json.loads(res.stdout.strip().splitlines()[-1])
+    assert result["on_fail"] == "failsafe"
+    ol = result["open_loop"]
+    # open-loop stable-PD is deterministic on this expert: 71.6mm/30f
+    assert abs(ol["first30_mpjpe_mm"] - 71.6) < 2.0, ol
+    assert "max_consecutive_upright" in ol
+    cl = result["closed_loop_best"]
+    assert np.isfinite(cl["first30_mpjpe_mm"])
+    assert set(result["bar"]) == {"first30_mpjpe_beats_open_loop",
+                                  "upright_beats_open_loop"}
