@@ -144,8 +144,14 @@ def run(opt) -> dict:
             ),
         } for chunk in chunks]
         key, sk = jax.random.split(key)
+        import time as _time
+        _t0 = _time.perf_counter()
         res = run_batches_pipelined(pipeline, batches, sk,
                                     sample_bs=opt.sample_bs)
+        _dt = _time.perf_counter() - _t0
+        _n = sum(len(c) for c in chunks)
+        print(f"batched eval: {_n} seqs in {_dt:.1f}s "
+              f"({_n / _dt:.2f} seqs/sec incl. first-chunk compile)")
         for chunk, b in zip(chunks, res):
             for j, ((seq_name, _, _), md) in enumerate(zip(chunk, b["metrics"])):
                 entry = {k: float(np.mean(v)) for k, v in md.items()
