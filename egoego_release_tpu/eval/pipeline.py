@@ -295,13 +295,18 @@ def _eval_chain_dispatch(
     )
 
 
-def _eval_metrics_dispatch(pipeline: EgoEgoPipeline, chain_out):
+def _eval_metrics_dispatch(pipeline: EgoEgoPipeline, chain_out,
+                           extra_cols=None):
     """Dispatch the flattened metric suite directly behind the chain WITHOUT
     fetching anything: the per-sequence predicted-floor clustering runs
     INSIDE the program (ops/floor.py), so the chain's (N, T, 22, 3)
     predictions never cross the tunnel and no host sync separates the chain
     from its metrics (round-4 host-work reduction; the host path previously
-    fetched every prediction purely to cluster toe heights)."""
+    fetched every prediction purely to cluster toe heights).
+
+    extra_cols: optional device-resident (N, E) array appended verbatim to
+    the flattened output (the pipelined caller rides its stage-1 metric
+    triple on the same fetch)."""
     pred_jrot, pred_jpos_c, gt_jrot_t, gt_jpos_c = chain_out
 
     # The whole metric suite as ONE jitted program returning ONE flattened
@@ -314,11 +319,13 @@ def _eval_metrics_dispatch(pipeline: EgoEgoPipeline, chain_out):
     # metric's width ever became shape-dependent.
     cache = pipeline.extras.setdefault("_eval_metrics_flat", {})
     shape_key = (gt_jrot_t.shape, gt_jpos_c.shape,
-                 pred_jrot.shape, pred_jpos_c.shape)
+                 pred_jrot.shape, pred_jpos_c.shape,
+                 None if extra_cols is None else extra_cols.shape)
     if shape_key not in cache:
         spec: list = []
+        with_extra = extra_cols is not None
 
-        def _metrics_flat(gt_jrot, gt_jpos_c, pred_jrot, pred_jpos_c):
+        def _metrics_flat(gt_jrot, gt_jpos_c, pred_jrot, pred_jpos_c, *extra):
             floors = floor_mod.floor_heights(pred_jpos_c)
             md = metrics_mod.batched_metrics_for_smpl(
                 gt_jrot, gt_jpos_c, jnp.zeros_like(floors),
@@ -330,20 +337,26 @@ def _eval_metrics_dispatch(pipeline: EgoEgoPipeline, chain_out):
                 v = md[k].reshape(md[k].shape[0], -1)
                 spec.append((k, v.shape[1]))
                 cols.append(v)
+            if with_extra:
+                # pass-through columns (e.g. the stage-1 metric triple) so
+                # the pipelined caller collects ONE array instead of two
+                # (each fetch is a blocking tunnel round trip); rows are
+                # sample-major groups, so per-sequence extras repeat
+                rep = pred_jrot.shape[0] // extra[0].shape[0]
+                cols.append(jnp.repeat(extra[0], rep, axis=0))
             return jnp.concatenate(cols, axis=1)
 
-        cache[shape_key] = (jax.jit(_metrics_flat), spec)
-    metrics_fn, spec = cache[shape_key]
-    flat = metrics_fn(gt_jrot_t, gt_jpos_c, pred_jrot, pred_jpos_c)
-    return flat, spec
+        cache[shape_key] = (jax.jit(_metrics_flat), spec,
+                            0 if extra_cols is None else extra_cols.shape[-1])
+    metrics_fn, spec, n_extra = cache[shape_key]
+    args = (gt_jrot_t, gt_jpos_c, pred_jrot, pred_jpos_c)
+    if extra_cols is not None:
+        args = args + (extra_cols,)
+    flat = metrics_fn(*args)
+    return flat, spec, n_extra
 
 
-def _eval_metrics_collect(pipeline: EgoEgoPipeline, dispatched) -> list[dict]:
-    """Fetch the flattened metric array (ONE device->host transfer) and
-    unpack it into per-sequence metric dicts using the spec captured by the
-    same-shape trace that produced it."""
-    flat_dev, spec = dispatched
-    flat = np.asarray(flat_dev)
+def _unflatten_metrics(flat: np.ndarray, spec) -> list[dict]:
     out = []
     for s in range(flat.shape[0]):
         d, o = {}, 0
@@ -352,6 +365,17 @@ def _eval_metrics_collect(pipeline: EgoEgoPipeline, dispatched) -> list[dict]:
             o += w
         out.append(d)
     return out
+
+
+def _eval_metrics_collect(pipeline: EgoEgoPipeline, dispatched) -> list[dict]:
+    """Fetch the flattened metric array (ONE device->host transfer) and
+    unpack it into per-sequence metric dicts using the spec captured by the
+    same-shape trace that produced it."""
+    flat_dev, spec, n_extra = dispatched
+    flat = np.asarray(flat_dev)
+    if n_extra:
+        flat = flat[:, :-n_extra]
+    return _unflatten_metrics(flat, spec)
 
 
 def select_best_of(mds: list[dict], n_seqs: int, sample_bs: int) -> list[dict]:
@@ -366,9 +390,11 @@ def select_best_of(mds: list[dict], n_seqs: int, sample_bs: int) -> list[dict]:
 
 
 def _tile_samples(head_poses, gt_jrot, gt_jpos, sample_bs: int):
-    """(N, ...) -> (N*S, ...), sample index fastest (seq-major groups)."""
+    """(N, ...) -> (N*S, ...), sample index fastest (seq-major groups).
+    jnp.repeat keeps device-resident conditioning on device (np.repeat on a
+    jax array would force a host fetch + re-upload through the tunnel)."""
     return (
-        np.repeat(np.asarray(head_poses), sample_bs, axis=0),
+        jnp.repeat(jnp.asarray(head_poses), sample_bs, axis=0),
         jnp.repeat(gt_jrot, sample_bs, axis=0),
         jnp.repeat(gt_jpos, sample_bs, axis=0),
     )
@@ -503,58 +529,57 @@ def run_batches_pipelined(pipeline: EgoEgoPipeline, batches: list[dict], key,
     a list (per batch) of
     {"metrics": [N per-sequence metric dicts], "s1": (e, o, t) arrays | None}.
 
-    Single-TPU schedule (round-4, device-resident floors): batch k+1's
+    Single-TPU schedule (round-5, zero steady-state transfers): batch k+1's
     small device programs (fused GT prep incl. floor clustering + snap,
-    stage-1 nets) are dispatched BEFORE chain k, so on the FIFO device
-    queue they execute ahead of it and all remaining host work — the
-    (N,T,7) head-pose fetch, stage-1 record stacking and metric packing,
-    metric unflattening — runs WHILE a chain executes.  Each chain's metric
-    suite (with the predicted-floor clustering inside it, ops/floor.py) is
-    dispatched straight behind the chain with no host sync in between; per
-    iteration the queue is
-      [... chain k-1][metrics k-1][gt_prep k+1][stage1 k+1][chain k]...
-    and the only host block is collecting batch k-1's flat metric array
-    after chain k is dispatched.  Numerically identical to the sequential
-    gt_from_smpl_params_batched + stage1_head_pose_batched + evaluate_batch
-    composition (same programs, same keys; the chain conditioning is the
-    SAME fetched device head-pose buffer): tests/test_eval_pipeline.py."""
+    stage-1 nets, and the pre-chain program — stage-1 metric triple + chain
+    conditioning assembly, all ON DEVICE) are dispatched BEFORE chain k, so
+    on the FIFO device queue they execute ahead of it; the only remaining
+    per-iteration host work is input stacking/uploads for batch k+1 and ONE
+    blocking fetch (the flattened metric array, with the stage-1 triple
+    riding as pass-through columns).  Each chain's metric suite (with the
+    predicted-floor clustering inside it, ops/floor.py) is dispatched
+    straight behind the chain with no host sync in between; per iteration
+    the queue is
+      [... chain k-1][metrics k-1][gt_prep k+1][stage1 k+1][prechain k+1][chain k]...
+    Round-4 kept the chain conditioning on host — two (N,T,7) fetches, one
+    packed upload and one re-upload per iteration (~5 tunnel round trips at
+    ~0.1 s each) that exceeded the chain's slack; moving them in-program is
+    what closed the gap to the chain-bound ideal (BASELINE.md round-5).
+    Numerically identical to the sequential gt_from_smpl_params_batched +
+    stage1_head_pose_batched + evaluate_batch composition (same programs,
+    same keys; slicing/add/sub moved device-side are the same IEEE f32 ops
+    in the same order): tests/test_eval_pipeline.py."""
     n_b = len(batches)
     if n_b == 0:
         return []
     keys = jax.random.split(key, n_b)
-    if "_s1_metrics_batched" not in pipeline.extras:
-        # packed I/O: ONE (N, t, 14) upload and ONE (N, 3) fetch per batch
-        # instead of four uploads + three fetches (each a tunnel round trip)
-        def _s1_metrics(packed):
-            pred, gt = packed[..., :7], packed[..., 7:]
-            hd, hrd, hte = jax.vmap(
-                lambda pt, pq, gtt, gtq: metrics_mod.compute_head_pose_metrics(
-                    pt, rot.quat_to_matrix(pq), gtt, rot.quat_to_matrix(gtq)
-                )
-            )(pred[..., :3], pred[..., 3:], gt[..., :3], gt[..., 3:])
-            return jnp.stack([hd, hrd, hte], axis=-1)
-
-        pipeline.extras["_s1_metrics_batched"] = jax.jit(_s1_metrics)
 
     results: list = [None] * n_b
 
     def _collect(slot):
-        j, n_seqs, flat, s1m = slot
-        mds = _eval_metrics_collect(pipeline, flat)
+        """The ONE host block per iteration: fetch the flattened metric
+        array; the stage-1 triple rides its last columns (sample-major
+        rows, so per-sequence extras repeat sample_bs times)."""
+        j, n_seqs, dispatched = slot
+        flat_dev, spec, n_extra = dispatched
+        flat = np.asarray(flat_dev)
+        mds = _unflatten_metrics(
+            flat[:, :-n_extra] if n_extra else flat, spec
+        )
         if sample_bs > 1:
             mds = select_best_of(mds, n_seqs, sample_bs)
         s1 = None
-        if s1m is not None:
-            s1_np = np.asarray(s1m)
-            s1 = (s1_np[:, 0], s1_np[:, 1], s1_np[:, 2])
+        if n_extra:
+            s1_np = flat[::sample_bs, -n_extra:]
+            s1 = (s1_np[:, 0].copy(), s1_np[:, 1].copy(), s1_np[:, 2].copy())
         results[j] = {"metrics": mds, "s1": s1}
 
     _ensure_gt_programs(pipeline)
 
     def _prefetch(k):
-        """Dispatch batch k's small device programs.  Called before chain
-        k-1's dispatch, so they run ahead of it and their outputs are
-        fetchable while that chain executes."""
+        """Upload batch k's inputs and dispatch its small device programs.
+        Called before chain k-1's dispatch, so they run ahead of it and
+        their outputs feed chain k with no further transfers."""
         batch = batches[k]
         records = batch.get("records")
         if "gt_qpos" in batch:
@@ -571,51 +596,77 @@ def run_batches_pipelined(pipeline: EgoEgoPipeline, batches: list[dict], key,
             )
         s1_out = (pipeline.stage1_head_pose_batched(records)
                   if records is not None else None)
-        return {"batch": batch, "t_gt": t_gt, "gq": gq, "gp": gp,
-                "head": head_dev, "s1": s1_out}
+        ghp = (jnp.asarray(np.asarray(batch["gt_head_pose"], np.float32))
+               if "gt_head_pose" in batch else None)
+        return {"t_gt": t_gt, "gq": gq, "gp": gp,
+                "head": head_dev, "s1": s1_out, "ghp": ghp}
 
-    def _prechain_host(pf):
-        """Host finalize of a prefetched batch: ONE (N, T, 7) head-pose
-        fetch, stage-1 metric dispatch (one packed upload), and the chain-
-        conditioning assembly.  Touches only programs dispatched before the
-        PREVIOUS chain, so this runs concurrently with that chain."""
-        batch, t_gt, s1_out = pf["batch"], pf["t_gt"], pf["s1"]
-        gt_head_np = np.asarray(pf["head"])
-        if s1_out is not None:
-            # Trim the stage-1 head pose to min(qpos len, GT head-pose len)
-            # when an explicit GT head pose is given — the per-sequence
-            # eval_egoego path trims to the GT head-pose length, so trimming
-            # to t_gt alone would condition the chain on a longer head
-            # trajectory than the sequential flow (ADVICE r3).
-            t_hp = t_gt
-            if "gt_head_pose" in batch:
-                t_hp = min(t_gt, np.asarray(batch["gt_head_pose"]).shape[1])
-            hp = np.array(s1_out["head_pose"])[:, :t_hp]
-            gt_head_cmp = (np.asarray(batch["gt_head_pose"], np.float32)
-                           if "gt_head_pose" in batch else gt_head_np)
-            # min-trim for the stage-1 metrics, mirroring stage1_metrics's
-            # per-sequence min() (stage-1 output / GT lengths may differ)
-            t_cmp = min(hp.shape[1], gt_head_cmp.shape[1])
-            pred, gt = hp[:, :t_cmp].copy(), gt_head_cmp[:, :t_cmp].copy()
-            pred[:, :, :2] -= pred[:, 0:1, :2]
-            gt[:, :, :2] -= gt[:, 0:1, :2]
-            s1m = pipeline.extras["_s1_metrics_batched"](
-                jnp.asarray(np.concatenate([pred, gt], axis=-1))
-            )
-            # floor-align predicted heads to the GT start (eval_egoego:334);
-            # gt_head_np[:, 0, :3] IS the snapped first-frame head position
-            hp[:, :, :3] += gt_head_np[:, 0:1, :3] - hp[:, 0:1, :3]
-        else:
-            hp, s1m = gt_head_np, None
+    def _prechain(pf):
+        """Dispatch the pre-chain program on batch k's device-resident
+        prefetch outputs: stage-1 metric triple (initial-xy normalization +
+        head-pose metrics) and the chain-conditioning assembly (trim +
+        floor-align to the snapped GT start, eval_egoego:334), with NO
+        host transfers.  Trim lengths are static (derived from input
+        shapes), so the program caches per shape combination."""
+        t_gt, s1_out, head_dev, ghp = (pf["t_gt"], pf["s1"], pf["head"],
+                                       pf["ghp"])
+        if s1_out is None:
+            # GT-head mode: condition on the (device-resident) GT head pose
+            return {"hp": head_dev, "gq": pf["gq"], "gp": pf["gp"],
+                    "s1m": None}
+        s1h = s1_out["head_pose"]
+        # Trim the stage-1 head pose to min(qpos len, GT head-pose len)
+        # when an explicit GT head pose is given — the per-sequence
+        # eval_egoego path trims to the GT head-pose length, so trimming
+        # to t_gt alone would condition the chain on a longer head
+        # trajectory than the sequential flow (ADVICE r3).
+        t_hp = t_gt if ghp is None else min(t_gt, ghp.shape[1])
+        cache = pipeline.extras.setdefault("_prechain_prog", {})
+        ck = (tuple(s1h.shape), tuple(head_dev.shape),
+              None if ghp is None else tuple(ghp.shape), t_hp)
+        if ck not in cache:
+            has_ghp = ghp is not None
+
+            def _prog(s1h, gt_head, *extra):
+                hp = s1h[:, :t_hp]
+                # min-trim for the stage-1 metrics, mirroring
+                # stage1_metrics's per-sequence min() (stage-1 output / GT
+                # lengths may differ); normalization BEFORE the floor-align
+                # (z rides the raw stage-1 height, as in the host path)
+                gt_cmp = extra[0] if has_ghp else gt_head
+                t_cmp = min(t_hp, gt_cmp.shape[1])
+                pred, gt = hp[:, :t_cmp], gt_cmp[:, :t_cmp]
+                pred = jnp.concatenate(
+                    [pred[..., :2] - pred[:, 0:1, :2], pred[..., 2:]], -1)
+                gt = jnp.concatenate(
+                    [gt[..., :2] - gt[:, 0:1, :2], gt[..., 2:]], -1)
+                hd, hrd, hte = jax.vmap(
+                    lambda pt, pq, gtt, gtq:
+                        metrics_mod.compute_head_pose_metrics(
+                            pt, rot.quat_to_matrix(pq),
+                            gtt, rot.quat_to_matrix(gtq))
+                )(pred[..., :3], pred[..., 3:], gt[..., :3], gt[..., 3:])
+                s1m = jnp.stack([hd, hrd, hte], axis=-1)
+                # floor-align predicted heads to the GT start
+                # (eval_egoego:334); gt_head[:, 0, :3] IS the snapped
+                # first-frame head position
+                shift = gt_head[:, 0:1, :3] - hp[:, 0:1, :3]
+                hp = jnp.concatenate([hp[..., :3] + shift, hp[..., 3:]], -1)
+                return hp, s1m
+
+            cache[ck] = jax.jit(_prog)
+        args = (s1h, head_dev) + (() if ghp is None else (ghp,))
+        hp, s1m = cache[ck](*args)
         return {"hp": hp, "gq": pf["gq"], "gp": pf["gp"], "s1m": s1m}
 
     pf_next = _prefetch(0)
-    pending = None  # (idx, n_seqs, (flat metric device array, spec), s1m)
+    pending = None  # (idx, n_seqs, (flat device array, spec, n_extra))
     for k in range(n_b):
-        # (1) host-finalize batch k's pre-chain work; at k>0 this overlaps
-        # chain k-1 (its device inputs ran ahead of that chain)
-        prep = _prechain_host(pf_next)
-        # (2) dispatch batch k+1's small programs BEFORE chain k
+        # (1) dispatch batch k's pre-chain program (device-only; its inputs
+        # ran ahead of chain k-1, so it clears the queue before chain k)
+        prep = _prechain(pf_next)
+        # (2) upload batch k+1's inputs + dispatch its small programs
+        # BEFORE chain k; this host work overlaps chain k-1's execution
         pf_next = _prefetch(k + 1) if k + 1 < n_b else None
         # (3) dispatch chain k, then its metric suite straight behind it —
         # the floor clustering lives inside the metric program, so no host
@@ -625,13 +676,14 @@ def run_batches_pipelined(pipeline: EgoEgoPipeline, batches: list[dict], key,
         if sample_bs > 1:
             hp, gq, gp = _tile_samples(hp, gq, gp, sample_bs)
         chain_out = _eval_chain_dispatch(pipeline, hp, gq, gp, keys[k])
-        flat = _eval_metrics_dispatch(pipeline, chain_out)
+        dispatched = _eval_metrics_dispatch(pipeline, chain_out,
+                                            extra_cols=prep["s1m"])
         # (4) collect batch k-1 — the one host block per iteration; its
         # metric program completed right after chain k-1 while chain k
         # keeps the device busy
         if pending is not None:
             _collect(pending)
-        pending = (k, n_seqs, flat, prep["s1m"])
+        pending = (k, n_seqs, dispatched)
 
     _collect(pending)
     return results

@@ -201,6 +201,19 @@ def main():
     state = agent.init_state(k0)
     state = dict(state, policy=scale_mean_head(state["policy"]))
 
+    # PHYS_INIT=<snapshot.pkl>: warm-start policy/value/obs-filter from a
+    # PHYS_SAVE snapshot (continue a budgeted run instead of re-learning;
+    # optimizer moments restart — the snapshot stores none)
+    init_path = os.environ.get("PHYS_INIT", "")
+    if init_path:
+        import pickle
+
+        with open(init_path, "rb") as f:
+            snap = pickle.load(f)
+        state = dict(state, policy=snap["policy"], value=snap["value"])
+        agent.zfilter = snap["zfilter"]
+        print(f"warm start from {init_path}", flush=True)
+
     open_loop = rollout_open_loop(sess, qpos_e, qvel_e, ref_fk)
     print(f"open-loop baseline: {open_loop}", flush=True)
 
