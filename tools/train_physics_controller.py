@@ -175,6 +175,11 @@ def main():
     # horizons still yield late-take samples instead of truncating at the
     # first fall
     on_fail = os.environ.get("PHYS_ON_FAIL", "break")
+    # PHYS_WALL=<seconds>: wall-clock budget for the TRAINING loop — when
+    # exceeded the loop exits gracefully (final eval + best-save + JSON
+    # still run), so long curricula can be launched under a hard session
+    # budget instead of being killed snapshot-less
+    wall_budget = float(os.environ.get("PHYS_WALL", "0"))
 
     rng = np.random.RandomState(0)
     rest = np.concatenate(
@@ -223,7 +228,29 @@ def main():
     best_zfilter = jax.tree_util.tree_map(np.asarray, agent.zfilter)
     history = []
     t0 = time.time()
+
+    def dump_snapshot():
+        # incremental: rewritten at every new best so a killed run still
+        # leaves its best policy on disk
+        if not save_path:
+            return
+        import pickle
+
+        to_np = lambda t: jax.tree_util.tree_map(np.asarray, t)  # noqa: E731
+        tmp = save_path + ".tmp"
+        with open(tmp, "wb") as f:
+            pickle.dump({"policy": to_np(best_state["policy"]),
+                         "value": to_np(best_state["value"]),
+                         "zfilter": best_zfilter}, f)
+        os.replace(tmp, save_path)
+
+    iters_run = iters
     for it in range(iters):
+        if wall_budget and time.time() - t0 > wall_budget:
+            print(f"wall budget {wall_budget:.0f}s reached at iter {it}; "
+                  "stopping training loop", flush=True)
+            iters_run = it
+            break
         # a horizon >= the take length trains on the (clamped) full take;
         # collect() already handles short target windows, so only the
         # start-sampling range needs the guard
@@ -257,6 +284,7 @@ def main():
                 # under a later filter sees differently-normalized obs
                 best_zfilter = jax.tree_util.tree_map(
                     np.asarray, agent.zfilter)
+                dump_snapshot()
     wall = time.time() - t0
 
     final = rollout_closed_loop(agent, state, qpos_e, qvel_e, ref_fk)
@@ -268,7 +296,7 @@ def main():
         "metric": "physics-controller closed-loop expert tracking "
                   f"(PPO residual+RFC over stable-PD, {reward_id}, "
                   f"demo take {t_total} frames)",
-        "iters": iters, "rollouts_per_iter": n_roll,
+        "iters": iters_run, "rollouts_per_iter": n_roll,
         "horizon": sched_spec if sched_spec else horizon,
         "on_fail": on_fail,
         "train_seconds": round(wall, 1),
@@ -286,14 +314,7 @@ def main():
                 best["frames_upright"] > open_loop["frames_upright"],
         },
     }
-    if save_path:
-        import pickle
-
-        to_np = lambda t: jax.tree_util.tree_map(np.asarray, t)  # noqa: E731
-        with open(save_path, "wb") as f:
-            pickle.dump({"policy": to_np(best_state["policy"]),
-                         "value": to_np(best_state["value"]),
-                         "zfilter": best_zfilter}, f)
+    dump_snapshot()
 
     print(json.dumps(result))
 
