@@ -289,15 +289,25 @@ def test_physics_controller_tool_smoke():
     import sys
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    snap_path = "/tmp/_phys_smoke_snapshot.pkl"
+    if os.path.exists(snap_path):
+        os.remove(snap_path)
     env = dict(os.environ)
     env.update(PHYS_ITERS="1", PHYS_ROLLOUTS="2", PHYS_HORIZON="8",
-               PHYS_EVAL_EVERY="1", PHYS_ON_FAIL="failsafe")
+               PHYS_EVAL_EVERY="1", PHYS_ON_FAIL="failsafe",
+               PHYS_SAVE=snap_path)
     res = subprocess.run(
         [sys.executable, os.path.join(repo, "tools",
                                       "train_physics_controller.py")],
         capture_output=True, text=True, env=env, timeout=900,
     )
     assert res.returncode == 0, res.stderr[-2000:]
+    # incremental best-snapshot save (PHYS_SAVE): written at the first new
+    # best, so even a wall-budget-killed run leaves its policy on disk
+    import pickle
+    with open(snap_path, "rb") as f:
+        snap = pickle.load(f)
+    assert set(snap) == {"policy", "value", "zfilter"}
     result = json.loads(res.stdout.strip().splitlines()[-1])
     assert result["on_fail"] == "failsafe"
     ol = result["open_loop"]
