@@ -75,6 +75,7 @@ def build_pipeline(
     fused_transformer: bool = False,   # round-3 large-batch modes (BASELINE.md)
     fused_step: bool = False,          # fused denoise-step kernels (chain best)
     sample_microbatch: int = 0,
+    of_bf16: bool = False,             # bf16 OF upload (EgoEgoPipeline.of_bf16)
 ) -> EgoEgoPipeline:
     stats = load_norm_stats(stats_path)
     rest_offsets = load_rest_offsets(smplh_path, rest_offsets_path)
@@ -138,4 +139,5 @@ def build_pipeline(
         headnet_params=headnet_params,
         gravitynet=gravitynet,
         gravitynet_params=gravitynet_params,
+        of_bf16=of_bf16,
     )

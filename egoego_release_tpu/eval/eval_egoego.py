@@ -76,6 +76,7 @@ def run(opt) -> dict:
         fused_transformer=opt.fused,
         fused_step=opt.fused_step,
         sample_microbatch=opt.sample_microbatch,
+        of_bf16=opt.of_bf16,
     )
     if opt.dp * opt.tp > 1:
         from egoego_release_tpu.parallel.mesh import make_mesh
@@ -287,6 +288,11 @@ def parse_opt(argv=None):
     p.add_argument("--sample_microbatch", type=int, default=0,
                    help="chunk the sampling batch to N inside the jit "
                         "(large-batch cliff fix; 0 = off)")
+    p.add_argument("--of_bf16", action="store_true",
+                   help="upload optical-flow features bf16 (halves the "
+                        "pipeline's dominant host->device stream; cast back "
+                        "to f32 in-program — bf16 rounding of the ResNet "
+                        "embeddings is the only deviation)")
     p.add_argument("--dp", type=int, default=1,
                    help="data-parallel mesh size: the sample_bs best-of "
                         "candidates fan across chips (SURVEY §2.4)")

@@ -46,6 +46,15 @@ class EgoEgoPipeline:
     gravitynet: HeadNormalFormer | None = None
     gravitynet_params: Any = None
     dist_scale: float = 10.0
+    # Opt-in fast-mode deviation (OFF by default = reference semantics):
+    # upload optical-flow features bf16 instead of f32.  The OF batch is the
+    # pipeline's dominant host->device byte stream (64 x 139 x 512 f32 =
+    # 18.2 MB/batch; measured 927 ms f32 vs 322 ms bf16 through the axon
+    # tunnel), and in DDIM fast mode that upload IS the end-to-end
+    # bottleneck.  Features are cast back to f32 in-program, so the only
+    # deviation is bf16 rounding of the ResNet-18 embeddings (~3 decimal
+    # digits); documented in REFERENCE_PARITY.md.
+    of_bf16: bool = False
     extras: dict = field(default_factory=dict)
     mesh: Any = None
 
@@ -143,6 +152,7 @@ class EgoEgoPipeline:
             fn = self._stage1_fn(True)
 
             def _packed(hn_params, gn_params, of, packed):
+                of = of.astype(jnp.float32)  # no-op unless of_bf16 upload
                 head_pose = packed[..., :7]
                 aligned = packed[..., 7:10]
                 ori_t = packed[..., 10:13]
@@ -160,10 +170,13 @@ class EgoEgoPipeline:
                 np.asarray(r["ori_slam_rot_mat"], np.float32).reshape(-1, 9),
             ], axis=-1)
 
+        of_np = np.stack([np.asarray(r["of"], np.float32) for r in records])
+        if self.of_bf16:
+            import ml_dtypes
+
+            of_np = of_np.astype(ml_dtypes.bfloat16)
         head_pose, pred_scale, normal = self.extras["_s1_packed"](
-            self.headnet_params, self.gravitynet_params,
-            jnp.asarray(np.stack([np.asarray(r["of"], np.float32)
-                                  for r in records])),
+            self.headnet_params, self.gravitynet_params, jnp.asarray(of_np),
             jnp.asarray(np.stack([flat(r) for r in records])),
         )
         return {"head_pose": head_pose, "pred_scale": pred_scale,

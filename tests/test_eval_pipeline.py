@@ -78,14 +78,11 @@ def test_evaluate_sequence_and_batch_consistency():
     assert extras["local_aa"].shape == (12, 22, 3)
 
 
-def test_stage1_batched_matches_per_record():
-    """stage1_head_pose_batched (one vmapped jit across sequences — the
-    round-3 tunnel-round-trip fix) must reproduce the per-record path."""
+def _stage1_pipe_and_records(n_records=3, t=16):
     from egoego_release_tpu.models.gravitynet import HeadNormalFormer
     from egoego_release_tpu.models.headnet import HeadFormer
 
     pipe = make_pipeline()
-    t = 16
     headnet = HeadFormer(d_model=32, n_layers=1, n_head=2, d_k=16, d_v=16,
                          window=8)
     gravitynet = HeadNormalFormer(d_model=32, n_layers=1, n_head=2, d_k=16,
@@ -101,7 +98,7 @@ def test_stage1_batched_matches_per_record():
 
     rng = np.random.RandomState(3)
     records = []
-    for _ in range(3):
+    for _ in range(n_records):
         q = rng.randn(t, 4).astype(np.float32)
         q /= np.linalg.norm(q, axis=-1, keepdims=True)
         mats = np.stack([
@@ -120,6 +117,13 @@ def test_stage1_batched_matches_per_record():
             ),
             "ori_slam_rot_mat": mats,
         })
+    return pipe, records
+
+
+def test_stage1_batched_matches_per_record():
+    """stage1_head_pose_batched (one vmapped jit across sequences — the
+    round-3 tunnel-round-trip fix) must reproduce the per-record path."""
+    pipe, records = _stage1_pipe_and_records()
 
     batched = pipe.stage1_head_pose_batched(records)
     for i, rec in enumerate(records):
@@ -132,6 +136,35 @@ def test_stage1_batched_matches_per_record():
             float(batched["pred_scale"][i]), float(single["pred_scale"]),
             rtol=1e-4,
         )
+
+
+def test_stage1_of_bf16_close_to_f32():
+    """of_bf16 (bf16 OF upload, the fast-mode byte-stream lever) must stay
+    within bf16-rounding distance of the f32 path: same shapes, finite, and
+    head pose close at a tolerance far below any metric's resolution."""
+    pipe, records = _stage1_pipe_and_records()
+    ref = pipe.stage1_head_pose_batched(records)
+
+    pipe_bf = EgoEgoPipeline(
+        diffusion=pipe.diffusion, diffusion_params=pipe.diffusion_params,
+        stats=pipe.stats, rest_offsets=pipe.rest_offsets,
+        headnet=pipe.headnet, headnet_params=pipe.headnet_params,
+        gravitynet=pipe.gravitynet, gravitynet_params=pipe.gravitynet_params,
+        of_bf16=True,
+    )
+    out = pipe_bf.stage1_head_pose_batched(records)
+    hp_ref = np.asarray(ref["head_pose"])
+    hp = np.asarray(out["head_pose"])
+    assert hp.shape == hp_ref.shape and np.isfinite(hp).all()
+    # bf16 has ~8 mantissa bits; transformer + integration keeps the head
+    # pose within ~1e-2 of f32 on O(1)-magnitude synthetic features
+    np.testing.assert_allclose(hp, hp_ref, atol=2e-2)
+    # mixed tolerance: pred_scale components can be near zero on a random
+    # net, where pure rtol is meaningless
+    np.testing.assert_allclose(
+        np.asarray(out["pred_scale"]), np.asarray(ref["pred_scale"]),
+        rtol=2e-2, atol=5e-3,
+    )
 
 
 def test_stage1_metrics_identity():

@@ -142,6 +142,9 @@ def main():
         fused_transformer=os.environ.get("PIPE_FUSED", "0") == "1",
         fused_step=os.environ.get("PIPE_STEP", "0") == "1",
         sample_microbatch=int(os.environ.get("PIPE_MB", "0")),
+        # PIPE_OF_BF16=1: bf16 OF upload (the stage-1/fast-mode byte-stream
+        # bottleneck; EgoEgoPipeline.of_bf16)
+        of_bf16=os.environ.get("PIPE_OF_BF16", "0") == "1",
     )
 
     records = synth_records(n_seqs, t, rng)
