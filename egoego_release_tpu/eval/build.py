@@ -76,6 +76,7 @@ def build_pipeline(
     fused_step: bool = False,          # fused denoise-step kernels (chain best)
     sample_microbatch: int = 0,
     of_bf16: bool = False,             # bf16 OF upload (EgoEgoPipeline.of_bf16)
+    of_int8: bool = False,             # int8 OF upload (EgoEgoPipeline.of_int8)
 ) -> EgoEgoPipeline:
     stats = load_norm_stats(stats_path)
     rest_offsets = load_rest_offsets(smplh_path, rest_offsets_path)
@@ -140,4 +141,5 @@ def build_pipeline(
         gravitynet=gravitynet,
         gravitynet_params=gravitynet_params,
         of_bf16=of_bf16,
+        of_int8=of_int8,
     )

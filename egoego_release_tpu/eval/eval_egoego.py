@@ -77,6 +77,7 @@ def run(opt) -> dict:
         fused_step=opt.fused_step,
         sample_microbatch=opt.sample_microbatch,
         of_bf16=opt.of_bf16,
+        of_int8=opt.of_int8,
     )
     if opt.dp * opt.tp > 1:
         from egoego_release_tpu.parallel.mesh import make_mesh
@@ -293,6 +294,10 @@ def parse_opt(argv=None):
                         "pipeline's dominant host->device stream; cast back "
                         "to f32 in-program — bf16 rounding of the ResNet "
                         "embeddings is the only deviation)")
+    p.add_argument("--of_int8", action="store_true",
+                   help="upload optical-flow features int8 with per-frame "
+                        "absmax scales (quarter the f32 stream; dequantized "
+                        "in-program — coarser than bf16 for small features)")
     p.add_argument("--dp", type=int, default=1,
                    help="data-parallel mesh size: the sample_bs best-of "
                         "candidates fan across chips (SURVEY §2.4)")

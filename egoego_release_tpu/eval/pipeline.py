@@ -55,6 +55,15 @@ class EgoEgoPipeline:
     # deviation is bf16 rounding of the ResNet-18 embeddings (~3 decimal
     # digits); documented in REFERENCE_PARITY.md.
     of_bf16: bool = False
+    # Opt-in fast-mode deviation, one step past of_bf16: upload optical-flow
+    # features int8 with a per-(sequence, frame) symmetric scale (absmax /
+    # 127, f32, rides the same dispatch at (N, T, 1) ~ 35 KB) and
+    # dequantize in-program.  Quantization error is <= row-absmax / 254 per
+    # element — relative to the ROW PEAK rather than per-element magnitude,
+    # so small features see coarser rounding than bf16; equivalence test at
+    # 5e-2 (tests/test_eval_pipeline.py::test_stage1_of_int8_close_to_f32).
+    # OFF by default; mutually exclusive with of_bf16.
+    of_int8: bool = False
     extras: dict = field(default_factory=dict)
     mesh: Any = None
 
@@ -148,11 +157,16 @@ class EgoEgoPipeline:
         upload — optical flow is between-frames and can be one frame
         shorter than the pose arrays) and the init quat is sliced from the
         packed head pose in-program."""
+        if self.of_bf16 and self.of_int8:
+            raise ValueError("of_bf16 and of_int8 are mutually exclusive")
         if "_s1_packed" not in self.extras:
             fn = self._stage1_fn(True)
 
-            def _packed(hn_params, gn_params, of, packed):
-                of = of.astype(jnp.float32)  # no-op unless of_bf16 upload
+            def _packed(hn_params, gn_params, of, packed, *of_scale):
+                if of_scale:  # int8 upload: dequantize in-program
+                    of = of.astype(jnp.float32) * of_scale[0]
+                else:
+                    of = of.astype(jnp.float32)  # no-op unless of_bf16
                 head_pose = packed[..., :7]
                 aligned = packed[..., 7:10]
                 ori_t = packed[..., 10:13]
@@ -171,13 +185,19 @@ class EgoEgoPipeline:
             ], axis=-1)
 
         of_np = np.stack([np.asarray(r["of"], np.float32) for r in records])
-        if self.of_bf16:
+        of_args = ()
+        if self.of_int8:
+            scale = np.abs(of_np).max(axis=-1, keepdims=True) / 127.0
+            scale = np.maximum(scale, np.float32(1e-12)).astype(np.float32)
+            of_np = np.clip(np.rint(of_np / scale), -127, 127).astype(np.int8)
+            of_args = (jnp.asarray(scale),)
+        elif self.of_bf16:
             import ml_dtypes
 
             of_np = of_np.astype(ml_dtypes.bfloat16)
         head_pose, pred_scale, normal = self.extras["_s1_packed"](
             self.headnet_params, self.gravitynet_params, jnp.asarray(of_np),
-            jnp.asarray(np.stack([flat(r) for r in records])),
+            jnp.asarray(np.stack([flat(r) for r in records])), *of_args,
         )
         return {"head_pose": head_pose, "pred_scale": pred_scale,
                 "pred_normal": normal}

@@ -1,5 +1,6 @@
 """Pipeline orchestration: batched vs per-sequence eval consistency."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -165,6 +166,48 @@ def test_stage1_of_bf16_close_to_f32():
         np.asarray(out["pred_scale"]), np.asarray(ref["pred_scale"]),
         rtol=2e-2, atol=5e-3,
     )
+
+
+def test_stage1_of_int8_close_to_f32():
+    """of_int8 (int8 OF upload with per-frame absmax scales, the fast-mode
+    byte-stream lever one step past bf16) must stay within quantization
+    distance of the f32 path: same shapes, finite, head pose close at a
+    tolerance looser than bf16's (error is relative to the row PEAK)."""
+    pipe, records = _stage1_pipe_and_records()
+    ref = pipe.stage1_head_pose_batched(records)
+
+    pipe_q = EgoEgoPipeline(
+        diffusion=pipe.diffusion, diffusion_params=pipe.diffusion_params,
+        stats=pipe.stats, rest_offsets=pipe.rest_offsets,
+        headnet=pipe.headnet, headnet_params=pipe.headnet_params,
+        gravitynet=pipe.gravitynet, gravitynet_params=pipe.gravitynet_params,
+        of_int8=True,
+    )
+    out = pipe_q.stage1_head_pose_batched(records)
+    hp_ref = np.asarray(ref["head_pose"])
+    hp = np.asarray(out["head_pose"])
+    assert hp.shape == hp_ref.shape and np.isfinite(hp).all()
+    # int8 per-row symmetric quantization: <= absmax/254 per element; the
+    # transformer + integration keeps the head pose within a few 1e-2 on
+    # O(1)-magnitude synthetic features
+    np.testing.assert_allclose(hp, hp_ref, atol=5e-2)
+    np.testing.assert_allclose(
+        np.asarray(out["pred_scale"]), np.asarray(ref["pred_scale"]),
+        rtol=5e-2, atol=1e-2,
+    )
+
+
+def test_stage1_of_bf16_int8_mutually_exclusive():
+    pipe, records = _stage1_pipe_and_records()
+    pipe_bad = EgoEgoPipeline(
+        diffusion=pipe.diffusion, diffusion_params=pipe.diffusion_params,
+        stats=pipe.stats, rest_offsets=pipe.rest_offsets,
+        headnet=pipe.headnet, headnet_params=pipe.headnet_params,
+        gravitynet=pipe.gravitynet, gravitynet_params=pipe.gravitynet_params,
+        of_bf16=True, of_int8=True,
+    )
+    with pytest.raises(ValueError):
+        pipe_bad.stage1_head_pose_batched(records)
 
 
 def test_stage1_metrics_identity():

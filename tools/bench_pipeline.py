@@ -145,6 +145,8 @@ def main():
         # PIPE_OF_BF16=1: bf16 OF upload (the stage-1/fast-mode byte-stream
         # bottleneck; EgoEgoPipeline.of_bf16)
         of_bf16=os.environ.get("PIPE_OF_BF16", "0") == "1",
+        # PIPE_OF_INT8=1: int8 OF upload (EgoEgoPipeline.of_int8)
+        of_int8=os.environ.get("PIPE_OF_INT8", "0") == "1",
     )
 
     records = synth_records(n_seqs, t, rng)
